@@ -1,0 +1,84 @@
+"""Complex contraction kernels for spectral layers.
+
+TPU-native re-design of the reference einsum kernels
+(MSFNO/Models/sfno/contractions.py:11-169).  Differences from the reference:
+
+- channels-last layout: spectral activations are (..., L, M, C) complex64,
+  so channel mixing is a plain matmul over the last (lane) axis -> MXU.
+- complex weights are stored as fp32 real pairs with a trailing dim of 2
+  (same storage layout as the reference checkpoints) and combined with
+  jax.lax.complex at use time.
+- complex products are written as paired real einsums so XLA emits real
+  matmuls with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def to_complex(w: jax.Array) -> jax.Array:
+    """(..., 2) fp32 real-pair storage -> complex64."""
+    return jax.lax.complex(w[..., 0], w[..., 1])
+
+
+def _csplit(z):
+    return jnp.real(z), jnp.imag(z)
+
+
+def _cjoin(re, im):
+    return jax.lax.complex(re, im)
+
+
+def _ceinsum(spec: str, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Complex einsum as 4 real einsums (fp32 accumulate on MXU)."""
+    ar, ai = _csplit(a)
+    br, bi = _csplit(b)
+    f = lambda x, y: jnp.einsum(spec, x, y, preferred_element_type=jnp.float32)
+    return _cjoin(f(ar, br) - f(ai, bi), f(ar, bi) + f(ai, br))
+
+
+def compl_mul(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Mode-shared channel mixing (reference compl_mul2d_fwd_c, "bixy,io->boxy").
+
+    x: (..., L, M, C_in) complex; w: (C_in, C_out) complex.
+    """
+    return _ceinsum("...i,io->...o", x, w)
+
+
+def compl_muladd(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """compl_mul plus complex bias (reference compl_muladd2d_fwd_c)."""
+    return compl_mul(x, w) + b
+
+
+def compl_contract_dense(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Per-mode dense channel mixing (reference compl_contract2d_fwd_c,
+    "bixy,kixy->bkxy").
+
+    x: (..., L, M, C_in); w: (L, M, C_in, C_out) complex.
+    """
+    return _ceinsum("...lmi,lmio->...lmo", x, w)
+
+
+def compl_contract_tril(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Per-mode mixing over a gathered triangular index set (reference
+    compl_contract_fwd_c, "bin,kin->bkn").
+
+    x: (..., K, C_in); w: (K, C_in, C_out) complex, K = #(l >= m) modes.
+    """
+    return _ceinsum("...ki,kio->...ko", x, w)
+
+
+def contract_tt(x: jax.Array, g1: jax.Array, g2: jax.Array, g3: jax.Array) -> jax.Array:
+    """Tensor-train compressed per-mode contraction (reference contract_tt,
+    contractions.py:62-64 via compl_ttc1/2_c_fwd).
+
+    x: (..., K, C_in); g1: (C_in, R), g2: (R, C_out, R), g3: (R, K), complex.
+    Returns (..., K, C_out).
+    """
+    # y[j, ..., k, c_in] = g3[j, k] * x[..., k, c_in]
+    y = _ceinsum("rk,...ki->r...ki", g3, x)
+    # out[..., k, o] = sum_{i, r, j} g1[i, r] g2[r, o, j] y[j, ..., k, i]
+    t = _ceinsum("ir,roj->ioj", g1, g2)
+    return _ceinsum("j...ki,ioj->...ko", y, t)

@@ -1,0 +1,175 @@
+"""Typed configuration for the framework.
+
+The reference drives everything off a ~90-flag argparse tree whose kwargs dict
+is passed around and wrapped as an attribute object (main.py:384-1137,
+MSFNO/utils.py:34-37).  Here configs are frozen dataclasses: hashable (usable
+as jit static args), serializable to/from JSON for checkpoint round-trips
+(reference semantics: main.py:179-246), and grouped the same way the argparse
+groups are (SURVEY.md section 5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+def _asdict(cfg) -> dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+    d["__config__"] = type(cfg).__name__
+    return d
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register(cls):
+    _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def to_json(cfg) -> str:
+    return json.dumps(_asdict(cfg), sort_keys=True)
+
+
+def from_json(s: str):
+    d = json.loads(s)
+    name = d.pop("__config__")
+    cls = _REGISTRY[name]
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in field_names:
+            continue
+        f = next(f for f in dataclasses.fields(cls) if f.name == k)
+        # rehydrate nested configs and tuples
+        if isinstance(v, dict) and "__config__" in v:
+            v = from_json(json.dumps(v))
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class FilmConfig:
+    """FiLM generator configuration (reference "Architecture Film Gen" argparse
+    group, main.py:1053-1137; Film_wrapper, sfnonet.py:863-912)."""
+
+    film_gen_type: str = "gcn_custom"  # gcn | gcn_custom | transformer | mae | none
+    film_layers: int = 1  # number of trailing filmed SFNO blocks
+    repeat_film: bool = False  # film every block with shared (gamma, beta)
+    model_depth: int = 6  # generator depth (gcn residual stack / vit blocks)
+    embed_dim: int = 512  # generator hidden width
+    mlp_dim: int = 512
+    temporal_step: int = 28  # SST history length (days)
+    coarse_level: int = 4  # SST coarsening factor: 721x1440 -> 180x360
+    sst_shape: tuple[int, int] = (180, 360)
+    patch_size: tuple[int, int, int] = (28, 9, 9)  # (t, h, w) for vit/mae
+    nan_mask_threshold: float = 0.5
+    dropout: float = 0.0
+    num_film_features: int = 256  # = embed_dim_sfno of the backbone
+    scale_weight: float = 1.0  # mae film-head init scaling
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class SFNOConfig:
+    """SFNO architecture config (reference FourierNeuralOperatorNet defaults,
+    MSFNO/Models/sfno/sfnonet.py:406-441)."""
+
+    img_size: tuple[int, int] = (721, 1440)
+    scale_factor: int = 6
+    in_chans: int = 73
+    out_chans: int = 73
+    embed_dim: int = 256
+    num_layers: int = 12
+    spectral_transform: str = "sht"  # sht | fft
+    filter_type: str = "non-linear"  # non-linear | linear
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    normalization_layer: str = "instance_norm"  # instance_norm | layer_norm
+    hard_thresholding_fraction: float = 1.0
+    big_skip: bool = True
+    compression: str | None = None  # None | "tt"
+    rank: int = 128
+    complex_activation: str = "real"
+    spectral_layers: int = 3
+    pos_embed: bool = True
+    spectral_rescale: float = 1e5  # sfnonet.py:550-555 gradient-conditioning trick
+    checkpointing_block: bool = False  # jax.checkpoint per block
+    checkpointing_encoder: bool = False
+    checkpointing_decoder: bool = False
+    # compute dtype for grid-space MLPs; SHT + spectral MLP stay fp32
+    # (mirrors reference AMP islands, layers.py:627-639)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    film: FilmConfig | None = None
+
+    @property
+    def h(self) -> int:
+        return self.img_size[0] // self.scale_factor
+
+    @property
+    def w(self) -> int:
+        return self.img_size[1] // self.scale_factor
+
+    @property
+    def modes_lat(self) -> int:
+        return int(self.h * self.hard_thresholding_fraction)
+
+    @property
+    def modes_lon(self) -> int:
+        return int((self.w // 2 + 1) * self.hard_thresholding_fraction)
+
+
+def tiny_sfno(film: bool = False) -> SFNOConfig:
+    """Small config for tests / the minimum end-to-end slice
+    (SURVEY.md section 7.3: 2 blocks, embed 64, 128x256 Gaussian grid)."""
+    return SFNOConfig(
+        img_size=(128, 256),
+        scale_factor=2,
+        in_chans=8,
+        out_chans=8,
+        embed_dim=64,
+        num_layers=2,
+        spectral_layers=2,
+        film=FilmConfig(model_depth=2, embed_dim=64, mlp_dim=64, sst_shape=(32, 64))
+        if film
+        else None,
+    )
+
+
+@register
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training configuration (reference "Training" argparse group,
+    main.py:640-944; Trainer, MSFNO/Models/train.py:35-1337)."""
+
+    batch_size: int = 1
+    learning_rate: float = 5e-4
+    optimizer: str = "adam"  # adam | adamw | sgd
+    weight_decay: float = 0.0
+    scheduler: str = "none"  # none | cosine | step
+    scheduler_horizon: int = 2000
+    loss_fn: str = "L2Sphere_noSine"  # default per main.py:874
+    multi_step_training: int = 0  # extra autoregressive steps in the loss
+    training_step_skip: int = 0  # skip factor between supervised steps
+    discount_factor: float = 1.0  # per-step loss discount
+    accumulation_steps: int = 0  # gradient accumulation (loss scaled by 1/(acc+1))
+    validation_interval: int = 100
+    validation_step_skip: int = 0
+    multi_step_validation: int = 0
+    save_checkpoint_interval: int = 1
+    training_epochs: int = 1
+    film_scale_start: float = 0.0  # FiLM scale ramp: +0.002 per validation
+    film_scale_step: float = 0.002  # (train.py:638-641)
+    retrain_film: bool = False  # unfreeze decoder + last blocks too
+    seed: int = 42
+    time_limit_s: float | None = None  # graceful stop (train.py:821-828)
