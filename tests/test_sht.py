@@ -175,6 +175,16 @@ class TestFFT2:
         assert y.shape == (2, lmax, mmax, 4)
         x2 = finv(y)
         assert x2.shape == x.shape
-        # project twice: band-limited projection is idempotent
-        x3 = finv(f(x2))
-        np.testing.assert_allclose(np.asarray(x3), np.asarray(x2), atol=1e-5)
+        # exact roundtrip on a strictly band-limited real field: support
+        # |k| <= lmax/2 - 2 (inside the kept rows on both sides), m < mmax-1
+        spec = np.zeros((2, nlat, nlon // 2 + 1, 4), dtype=np.complex64)
+        rng = np.random.default_rng(0)
+        kmax, mm = lmax // 2 - 2, mmax - 2
+        r = lambda *s: rng.standard_normal(s).astype(np.float32)
+        spec[:, :kmax, 1:mm] = r(2, kmax, mm - 1, 4) + 1j * r(2, kmax, mm - 1, 4)
+        spec[:, -kmax:, 1:mm] = r(2, kmax, mm - 1, 4) + 1j * r(2, kmax, mm - 1, 4)
+        xb = jnp.fft.irfft2(
+            jnp.asarray(spec), s=(nlat, nlon), axes=(-3, -2), norm="ortho"
+        )
+        xb2 = finv(f(xb))
+        np.testing.assert_allclose(np.asarray(xb2), np.asarray(xb), atol=1e-5)
