@@ -1,0 +1,68 @@
+"""FiLM generator mux (reference Film_wrapper, sfnonet.py:863-912).
+
+Selects the generator by film_gen_type and reshapes its output to
+(B, 2, film_layers, num_film_features): gamma = [:, 0], beta = [:, 1].
+For the "mae" generator, the (frozen) ContextCast encoder class token is fed
+through a trainable FeedForward film head, as in the reference
+(sfnonet.py:879-889, 900-912).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from msfno_tpu.models.film.attention import FeedForward
+from msfno_tpu.models.film.gcn import GCNFilmGenerator
+from msfno_tpu.models.film.mae import ContextCast
+from msfno_tpu.models.film.vit import ViTFilmGenerator
+from msfno_tpu.utils.config import FilmConfig
+
+Array = jax.Array
+
+
+class FilmWrapper(nn.Module):
+    cfg: FilmConfig
+
+    @nn.compact
+    def __call__(self, sst: Array, deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        out = cfg.num_film_features * cfg.film_layers * 2
+        kind = cfg.film_gen_type
+        if kind == "gcn":
+            x = GCNFilmGenerator(
+                out, cfg.embed_dim, cfg.model_depth, custom=False, name="film_gen"
+            )(sst, deterministic)
+        elif kind == "transformer":
+            x = ViTFilmGenerator(
+                out,
+                patch_size=cfg.patch_size,
+                dim=cfg.embed_dim,
+                depth=cfg.model_depth,
+                mlp_dim=cfg.mlp_dim,
+                nan_mask_threshold=cfg.nan_mask_threshold,
+                dropout=cfg.dropout,
+                name="film_gen",
+            )(sst, deterministic)
+        elif kind == "mae":
+            (_, _), (_, _), cls_enc, _ = ContextCast(
+                patch_size=cfg.patch_size,
+                encoder_dim=cfg.embed_dim,
+                decoder_dim=cfg.embed_dim,
+                nan_mask_threshold=cfg.nan_mask_threshold,
+                dropout=cfg.dropout,
+                name="film_gen",
+            )(sst, mask_ratio=0.0, deterministic=deterministic)
+            x = FeedForward(
+                cfg.embed_dim,
+                cfg.mlp_dim,
+                cfg.dropout,
+                out_dim=out,
+                name="film_head",
+            )(cls_enc, deterministic)
+        else:  # default: gcn_custom (main.py:130-134)
+            x = GCNFilmGenerator(
+                out, cfg.embed_dim, cfg.model_depth, custom=True, name="film_gen"
+            )(sst, deterministic)
+        return x.reshape(sst.shape[0], 2, cfg.film_layers, cfg.num_film_features)

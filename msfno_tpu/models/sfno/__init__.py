@@ -1,0 +1,5 @@
+from msfno_tpu.models.sfno.sfnonet import (  # noqa: F401
+    FourierNeuralOperatorNet,
+    FourierNeuralOperatorNetFilmed,
+    build_transforms,
+)

@@ -1,0 +1,197 @@
+"""SFNO blocks and FiLM modulation (reference MSFNO/Models/sfno/sfnonet.py).
+
+Block wiring truth table (sfnonet.py:573-614):
+  - block 0:            no skips, transforms change resolution down
+  - blocks 1..N-2:      inner_skip = 1x1 linear, outer_skip = identity
+  - block N-1:          no skips, no channel MLP, resolution back up
+  - filter "linear":    GELU after the inner skip
+  - norms: norm0 at the block's input resolution, norm1 at its output
+Filmed block (sfnonet.py:254-393): FiLM between norm1 and the channel MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from msfno_tpu.models.sfno.layers import (
+    InstanceNorm,
+    Mlp,
+    SpatialLayerNorm,
+    SpectralAttention2d,
+    SpectralAttentionS2,
+    SpectralConv2d,
+    SpectralConvS2,
+    drop_path,
+    trunc_normal_init,
+)
+
+Array = jax.Array
+
+
+def film_modulation(x: Array, gamma: Array, beta: Array, scale) -> Array:
+    """FiLM: ((1 + gamma*scale) * x) + beta*scale (reference FiLM module,
+    sfnonet.py:689-697).  gamma/beta are (B, C); x is (B, H, W, C)."""
+    g = gamma[:, None, None, :].astype(x.dtype)
+    b = beta[:, None, None, :].astype(x.dtype)
+    return (1.0 + g * scale) * x + b * scale
+
+
+def make_norm(kind: str, spatial_shape: tuple[int, int], name: str):
+    if kind == "instance_norm":
+        return InstanceNorm(name=name)
+    if kind == "layer_norm":
+        return SpatialLayerNorm(spatial_shape, name=name)
+    raise NotImplementedError(f"normalization {kind!r} not implemented")
+
+
+def make_filter(
+    filter_type: str,
+    spectral_transform: str,
+    forward_transform,
+    inverse_transform,
+    embed_dim: int,
+    mlp_ratio: float,
+    complex_activation: str,
+    spectral_layers: int,
+    compression,
+    rank: int,
+    name: str = "filter",
+):
+    """SpectralFilterLayer mux (reference sfnonet.py:60-133)."""
+    if filter_type == "non-linear" and spectral_transform == "sht":
+        return SpectralAttentionS2(
+            forward_transform,
+            inverse_transform,
+            embed_dim,
+            hidden_size_factor=mlp_ratio,
+            complex_activation=complex_activation,
+            spectral_layers=spectral_layers,
+            name=name,
+        )
+    if filter_type == "non-linear" and spectral_transform == "fft":
+        return SpectralAttention2d(
+            forward_transform,
+            inverse_transform,
+            embed_dim,
+            hidden_size_factor=mlp_ratio,
+            complex_activation=complex_activation,
+            spectral_layers=spectral_layers,
+            name=name,
+        )
+    if filter_type == "linear" and spectral_transform == "sht":
+        return SpectralConvS2(
+            forward_transform,
+            inverse_transform,
+            embed_dim,
+            compression=compression,
+            rank=rank,
+            name=name,
+        )
+    if filter_type == "linear" and spectral_transform == "fft":
+        return SpectralConv2d(
+            forward_transform, inverse_transform, embed_dim, name=name
+        )
+    raise NotImplementedError(f"filter {filter_type}/{spectral_transform}")
+
+
+class FourierNeuralOperatorBlock(nn.Module):
+    """One SFNO block; optionally FiLM-modulated.
+
+    When `filmed` is True the call signature grows (gamma, beta, scale) and
+    modulation is applied between norm1 and the channel MLP
+    (reference FourierNeuralOperatorBlock_Filmed.forward, sfnonet.py:357-393).
+    """
+
+    forward_transform: Callable
+    inverse_transform: Callable
+    embed_dim: int
+    filter_type: str = "non-linear"
+    spectral_transform: str = "sht"
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_kind: str = "instance_norm"
+    input_shape: tuple[int, int] = (0, 0)  # (H, W) at block input
+    output_shape: tuple[int, int] = (0, 0)  # (H, W) at block output
+    inner_skip: str | None = None  # None | "linear" | "identity"
+    outer_skip: str | None = None
+    use_mlp: bool = True
+    complex_activation: str = "real"
+    spectral_layers: int = 1
+    compression: str | None = None
+    rank: int = 128
+    filmed: bool = False
+    checkpointing: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        gamma: Array | None = None,
+        beta: Array | None = None,
+        scale=1.0,
+        deterministic: bool = True,
+    ) -> Array:
+        residual = x
+
+        x = make_norm(self.norm_kind, self.input_shape, "norm0")(x)
+        x = make_filter(
+            self.filter_type,
+            self.spectral_transform,
+            self.forward_transform,
+            self.inverse_transform,
+            self.embed_dim,
+            self.mlp_ratio,
+            self.complex_activation,
+            self.spectral_layers,
+            self.compression,
+            self.rank,
+        )(x)
+
+        if self.inner_skip == "linear":
+            x = x + nn.Dense(
+                self.embed_dim,
+                kernel_init=trunc_normal_init(0.02),
+                dtype=self.dtype,
+                name="inner_skip",
+            )(residual)
+        elif self.inner_skip == "identity":
+            x = x + residual
+
+        if self.filter_type == "linear":
+            x = nn.gelu(x, approximate=False)
+
+        x = make_norm(self.norm_kind, self.output_shape, "norm1")(x)
+
+        if self.filmed:
+            x = film_modulation(x, gamma, beta, scale)
+
+        if self.use_mlp:
+            x = Mlp(
+                hidden_features=int(self.embed_dim * self.mlp_ratio),
+                out_features=self.embed_dim,
+                drop_rate=self.drop_rate,
+                dtype=self.dtype,
+                name="mlp",
+            )(x, deterministic=deterministic)
+
+        if self.drop_path_rate > 0.0:
+            rng = self.make_rng("droppath") if not deterministic else None
+            x = drop_path(x, self.drop_path_rate, deterministic, rng)
+
+        if self.outer_skip == "linear":
+            x = x + nn.Dense(
+                self.embed_dim,
+                kernel_init=trunc_normal_init(0.02),
+                dtype=self.dtype,
+                name="outer_skip",
+            )(residual)
+        elif self.outer_skip == "identity":
+            x = x + residual
+
+        return x

@@ -1,0 +1,287 @@
+"""Spectral and pointwise layers for the SFNO (flax.linen, channels-last).
+
+TPU-first re-design of MSFNO/Models/sfno/layers.py:
+
+- layout is (B, H, W, C): the reference's 1x1-conv MLP (layers.py:145-178)
+  becomes a Dense over the lane axis -> a single MXU matmul per layer.
+- complex spectral weights are stored exactly like the reference checkpoints,
+  as fp32 real pairs with trailing dim 2 (layers.py:604-613), and combined via
+  jax.lax.complex at use time.
+- the SHT and the spectral MLP always run in fp32, independent of the
+  surrounding compute dtype (reference fp32 autocast islands,
+  layers.py:627-639); no loss scaling is needed on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msfno_tpu.ops.activations import complex_relu
+from msfno_tpu.ops.contractions import (
+    compl_contract_dense,
+    compl_contract_tril,
+    compl_mul,
+    contract_tt,
+    to_complex,
+)
+
+Array = jax.Array
+
+
+def trunc_normal_init(std: float = 0.02):
+    """Truncated-normal initializer matching the reference trunc_normal_
+    (layers.py:29-84, cutoffs at +-2 std)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+def scaled_normal_init(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        return scale * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU -> Dense over the channel axis.
+
+    Equivalent to the reference's Conv2d(1x1) MLP (layers.py:145-178) in
+    channels-last layout.  `output_bias=False` matches the encoder/decoder
+    wiring (sfnonet.py:510-520, 630-640).
+    """
+
+    hidden_features: int
+    out_features: int
+    output_bias: bool = True
+    drop_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = x.astype(self.dtype)
+        x = nn.Dense(
+            self.hidden_features,
+            kernel_init=trunc_normal_init(0.02),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = nn.Dense(
+            self.out_features,
+            use_bias=self.output_bias,
+            kernel_init=trunc_normal_init(0.02),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        return x
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over the spatial axes.
+
+    Matches nn.InstanceNorm2d(affine=True, track_running_stats=False)
+    as configured in sfnonet.py:492-498.  Always computed in fp32.
+    """
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dtype = x.dtype
+        c = x.shape[-1]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (y * scale + bias).astype(in_dtype)
+
+
+class SpatialLayerNorm(nn.Module):
+    """LayerNorm over the (H, W) axes with per-pixel affine parameters,
+    matching nn.LayerNorm(normalized_shape=(H, W)) in sfnonet.py:484-491."""
+
+    spatial_shape: tuple[int, int]
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dtype = x.dtype
+        h, w = self.spatial_shape
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (h, w, 1))
+        bias = self.param("bias", nn.initializers.zeros, (h, w, 1))
+        return (y * scale + bias).astype(in_dtype)
+
+
+def drop_path(x: Array, rate: float, deterministic: bool, rng=None) -> Array:
+    """Stochastic depth per sample (reference layers.py:88-118)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class SpectralAttentionS2(nn.Module):
+    """Non-linear spectral filter: complex MLP over retained (l, m) modes.
+
+    Reference: SpectralAttentionS2 (layers.py:536-641), the default filter
+    ("non-linear", sfnonet.py:428).  spectral_layers complex Dense layers
+    C -> hidden (+ ComplexReLU "real") followed by a C_out projection; the
+    weights are shared across modes, so each layer is one complex matmul.
+    Runs fully in fp32 together with its enclosing transforms.
+    """
+
+    forward_transform: Callable
+    inverse_transform: Callable
+    embed_dim: int
+    hidden_size_factor: float = 2.0
+    complex_activation: str = "real"
+    spectral_layers: int = 1
+    scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dtype = x.dtype
+        hidden = int(self.hidden_size_factor * self.embed_dim)
+        x = self.forward_transform(x.astype(jnp.float32))
+
+        dims = [self.embed_dim] + [hidden] * self.spectral_layers
+        for layer in range(self.spectral_layers):
+            w = self.param(
+                f"w{layer}",
+                scaled_normal_init(self.scale),
+                (dims[layer], dims[layer + 1], 2),
+            )
+            x = compl_mul(x, to_complex(w))
+            x = complex_relu(x, mode=self.complex_activation)
+        wout = self.param(
+            "wout", scaled_normal_init(self.scale), (hidden, self.embed_dim, 2)
+        )
+        x = compl_mul(x, to_complex(wout))
+
+        x = self.inverse_transform(x)
+        return x.astype(in_dtype)
+
+
+class SpectralConvS2(nn.Module):
+    """Linear spectral filter: dense per-mode channel mixing over the
+    triangular (l >= m) mode set, optionally tensor-train compressed.
+
+    Reference: SpectralConvS2 (layers.py:336-427).  The (l, m) gather/scatter
+    uses static index arrays (XLA-friendly); modes with l < m stay zero.
+    """
+
+    forward_transform: Callable
+    inverse_transform: Callable
+    embed_dim: int
+    compression: str | None = None
+    rank: int = 128
+    scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dtype = x.dtype
+        lmax = self.forward_transform.lmax
+        mmax = self.forward_transform.mmax
+        ii, jj = np.tril_indices(lmax, m=mmax)
+        k = len(ii)
+
+        x = self.forward_transform(x.astype(jnp.float32))
+        xk = x[..., ii, jj, :]  # (..., K, C)
+
+        if self.compression == "tt":
+            g1 = self.param(
+                "w0", scaled_normal_init(self.scale), (self.embed_dim, self.rank, 2)
+            )
+            g2 = self.param(
+                "w1",
+                scaled_normal_init(self.scale),
+                (self.rank, self.embed_dim, self.rank, 2),
+            )
+            g3 = self.param("w2", scaled_normal_init(self.scale), (self.rank, k, 2))
+            yk = contract_tt(xk, to_complex(g1), to_complex(g2), to_complex(g3))
+        else:
+            w = self.param(
+                "w",
+                scaled_normal_init(self.scale),
+                (k, self.embed_dim, self.embed_dim, 2),
+            )
+            yk = compl_contract_tril(xk, to_complex(w))
+
+        y = jnp.zeros(x.shape[:-3] + (lmax, mmax, self.embed_dim), x.dtype)
+        y = y.at[..., ii, jj, :].set(yk)
+        y = self.inverse_transform(y)
+        return y.astype(in_dtype)
+
+
+class SpectralAttention2d(nn.Module):
+    """FFT-grid analogue of SpectralAttentionS2 (layers.py:430-533)."""
+
+    forward_transform: Callable
+    inverse_transform: Callable
+    embed_dim: int
+    hidden_size_factor: float = 2.0
+    complex_activation: str = "real"
+    spectral_layers: int = 1
+    scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return SpectralAttentionS2(
+            self.forward_transform,
+            self.inverse_transform,
+            self.embed_dim,
+            self.hidden_size_factor,
+            self.complex_activation,
+            self.spectral_layers,
+            self.scale,
+            name="inner",
+        )(x)
+
+
+class SpectralConv2d(nn.Module):
+    """Linear spectral filter on the FFT grid: dense per-mode mixing over the
+    full rectangular mode set (reference SpectralConv2d, layers.py:253-333).
+    """
+
+    forward_transform: Callable
+    inverse_transform: Callable
+    embed_dim: int
+    scale: float | None = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dtype = x.dtype
+        lmax = self.forward_transform.lmax
+        mmax = self.forward_transform.mmax
+        scale = self.scale if self.scale is not None else 1.0 / self.embed_dim**2
+        x = self.forward_transform(x.astype(jnp.float32))
+        w = self.param(
+            "w",
+            scaled_normal_init(scale),
+            (lmax, mmax, self.embed_dim, self.embed_dim, 2),
+        )
+        y = compl_contract_dense(x, to_complex(w))
+        y = self.inverse_transform(y)
+        return y.astype(in_dtype)

@@ -1,0 +1,216 @@
+"""Full SFNO networks (reference MSFNO/Models/sfno/sfnonet.py:406-912).
+
+FourierNeuralOperatorNet: encoder MLP -> +pos_embed -> num_layers spectral
+blocks (resolution drops 6x inside block 0 and returns in the last block) ->
+big-skip concat of the input -> decoder MLP.
+
+FourierNeuralOperatorNetFilmed adds a FiLM generator over SST history whose
+per-block (gamma, beta) modulate the trailing `film_layers` blocks
+(sfnonet.py:699-860).  Backbone freezing is functional: the training step
+takes gradients only w.r.t. the film parameter subset
+(see msfno_tpu/training/partition.py), which is the JAX equivalent of the
+reference's requires_grad=False + torch.no_grad() islands
+(MSFNO/Models/sfno/model.py:1016-1026, sfnonet.py:817-844).
+
+Layout: channels-last (B, H, W, C) on the grid, (B, L, M, C) in spectral
+space.  Inputs/outputs use C=in_chans/out_chans (e.g. 73 ERA5 channels).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msfno_tpu.models.sfno.blocks import FourierNeuralOperatorBlock
+from msfno_tpu.models.sfno.layers import Mlp, trunc_normal_init
+from msfno_tpu.ops.fft import InverseRealFFT2, RealFFT2
+from msfno_tpu.ops.sht import InverseRealSHT, RealSHT
+from msfno_tpu.utils.config import SFNOConfig
+
+Array = jax.Array
+
+
+def build_transforms(cfg: SFNOConfig):
+    """The four transforms (sfnonet.py:532-569): trans_down (full grid ->
+    spectral), itrans_up (spectral -> full grid), trans/itrans (internal
+    downsampled Gauss grid)."""
+    nlat, nlon = cfg.img_size
+    h, w = cfg.h, cfg.w
+    lmax, mmax = cfg.modes_lat, cfg.modes_lon
+    if cfg.spectral_transform == "sht":
+        r = cfg.spectral_rescale
+        trans_down = RealSHT(
+            nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular", spectral_rescale=r
+        )
+        itrans_up = InverseRealSHT(
+            nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular", spectral_rescale=r
+        )
+        trans = RealSHT(
+            h, w, lmax=lmax, mmax=mmax, grid="legendre-gauss", spectral_rescale=r
+        )
+        itrans = InverseRealSHT(
+            h, w, lmax=lmax, mmax=mmax, grid="legendre-gauss", spectral_rescale=r
+        )
+    elif cfg.spectral_transform == "fft":
+        trans_down = RealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+        itrans_up = InverseRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+        trans = RealFFT2(h, w, lmax=lmax, mmax=mmax)
+        itrans = InverseRealFFT2(h, w, lmax=lmax, mmax=mmax)
+    else:
+        raise ValueError(f"unknown spectral transform {cfg.spectral_transform!r}")
+    return trans_down, itrans_up, trans, itrans
+
+
+def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
+    """Per-block wiring truth table (sfnonet.py:573-614)."""
+    trans_down, itrans_up, trans, itrans = transforms
+    first = i == 0
+    last = i == cfg.num_layers - 1
+    full = cfg.img_size
+    down = (cfg.h, cfg.w)
+    dpr = np.linspace(0, cfg.drop_path_rate, cfg.num_layers)
+    return dict(
+        forward_transform=trans_down if first else trans,
+        inverse_transform=itrans_up if last else itrans,
+        embed_dim=cfg.embed_dim,
+        filter_type=cfg.filter_type,
+        spectral_transform=cfg.spectral_transform,
+        mlp_ratio=cfg.mlp_ratio,
+        drop_rate=cfg.drop_rate,
+        drop_path_rate=float(dpr[i]),
+        norm_kind=cfg.normalization_layer,
+        input_shape=full if first else down,
+        output_shape=full if last else down,
+        inner_skip="linear" if 0 < i < cfg.num_layers - 1 else None,
+        outer_skip="identity" if 0 < i < cfg.num_layers - 1 else None,
+        use_mlp=not last,
+        complex_activation=cfg.complex_activation,
+        spectral_layers=cfg.spectral_layers,
+        compression=cfg.compression,
+        rank=cfg.rank,
+        dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+
+class FourierNeuralOperatorNet(nn.Module):
+    """SFNO (reference FourierNeuralOperatorNet, sfnonet.py:406-686)."""
+
+    cfg: SFNOConfig
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        transforms = build_transforms(cfg)
+        residual = x
+
+        x = Mlp(
+            hidden_features=cfg.embed_dim,
+            out_features=cfg.embed_dim,
+            output_bias=False,
+            dtype=dtype,
+            name="encoder",
+        )(x, deterministic=deterministic)
+
+        if cfg.pos_embed:
+            pe = self.param(
+                "pos_embed",
+                trunc_normal_init(0.02),
+                (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
+            )
+            x = x + pe.astype(x.dtype)
+
+        block_cls = FourierNeuralOperatorBlock
+        if cfg.checkpointing_block:
+            block_cls = nn.remat(FourierNeuralOperatorBlock, static_argnums=(5,))
+        for i in range(cfg.num_layers):
+            blk = block_cls(**_block_kwargs(cfg, i, transforms), name=f"blocks_{i}")
+            x = blk(x, None, None, 1.0, deterministic)
+
+        if cfg.big_skip:
+            x = jnp.concatenate([x, residual.astype(x.dtype)], axis=-1)
+
+        x = Mlp(
+            hidden_features=cfg.embed_dim,
+            out_features=cfg.out_chans,
+            output_bias=False,
+            dtype=dtype,
+            name="decoder",
+        )(x, deterministic=deterministic)
+        return x.astype(jnp.float32)
+
+
+class FourierNeuralOperatorNetFilmed(nn.Module):
+    """MSFNO: SFNO with FiLM conditioning on SST history
+    (reference FourierNeuralOperatorNet_Filmed, sfnonet.py:699-860)."""
+
+    cfg: SFNOConfig
+
+    @nn.compact
+    def __call__(
+        self, x: Array, sst: Array, scale=1.0, deterministic: bool = True
+    ) -> Array:
+        from msfno_tpu.models.film.wrapper import FilmWrapper
+
+        cfg = self.cfg
+        film_cfg = cfg.film
+        if film_cfg is None:
+            raise ValueError("SFNOConfig.film must be set for the filmed net")
+        dtype = jnp.dtype(cfg.compute_dtype)
+        transforms = build_transforms(cfg)
+
+        # (B, 2, film_layers, C): gamma = [:, 0], beta = [:, 1]
+        film_mod = FilmWrapper(film_cfg, name="film_gen")(
+            sst, deterministic=deterministic
+        )
+        gamma, beta = film_mod[:, 0], film_mod[:, 1]
+
+        residual = x
+        x = Mlp(
+            hidden_features=cfg.embed_dim,
+            out_features=cfg.embed_dim,
+            output_bias=False,
+            dtype=dtype,
+            name="encoder",
+        )(x, deterministic=deterministic)
+        if cfg.pos_embed:
+            pe = self.param(
+                "pos_embed",
+                trunc_normal_init(0.02),
+                (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
+            )
+            x = x + pe.astype(x.dtype)
+
+        block_cls = FourierNeuralOperatorBlock
+        if cfg.checkpointing_block:
+            block_cls = nn.remat(FourierNeuralOperatorBlock, static_argnums=(5,))
+        n_film = film_cfg.film_layers
+        for i in range(cfg.num_layers):
+            filmed = film_cfg.repeat_film or i >= cfg.num_layers - n_film
+            blk = block_cls(
+                **_block_kwargs(cfg, i, transforms),
+                filmed=filmed,
+                name=f"blocks_{i}",
+            )
+            if filmed:
+                film_idx = (
+                    min(i, n_film - 1)
+                    if film_cfg.repeat_film
+                    else i - (cfg.num_layers - n_film)
+                )
+                x = blk(x, gamma[:, film_idx], beta[:, film_idx], scale, deterministic)
+            else:
+                x = blk(x, None, None, 1.0, deterministic)
+
+        if cfg.big_skip:
+            x = jnp.concatenate([x, residual.astype(x.dtype)], axis=-1)
+        x = Mlp(
+            hidden_features=cfg.embed_dim,
+            out_features=cfg.out_chans,
+            output_bias=False,
+            dtype=dtype,
+            name="decoder",
+        )(x, deterministic=deterministic)
+        return x.astype(jnp.float32)
