@@ -1,0 +1,102 @@
+"""Checkpoint I/O: flattened-pytree .npz files with a JSON config sidecar.
+
+Reference semantics (MSFNO/Models/train.py:779-819, main.py:179-246,
+MSFNO/Models/checkpoint.py:9-57): a checkpoint stores model state, optimizer/
+scheduler state, step counters and the full hyperparameter set; `peek` reads
+the metadata without materializing tensors.
+
+Format here: one .npz per checkpoint.  Pytree leaves are stored under
+"/"-joined key paths with prefixes params|opt_state; metadata (step, epoch,
+config JSON) under meta/*.  np.load is lazy per entry, so peek() costs only
+the zip directory read — the same property the reference gets from its
+pickle hack.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from typing import Any
+
+import jax
+import numpy as np
+from flax import traverse_util
+
+
+def _flatten(prefix: str, tree) -> dict[str, np.ndarray]:
+    flat = traverse_util.flatten_dict(tree, sep="/") if isinstance(tree, dict) else None
+    if flat is None:
+        # generic pytree (e.g. optax states): use tree_flatten_with_path
+        leaves = jax.tree_util.tree_leaves_with_path(tree)
+        flat = {jax.tree_util.keystr(path): leaf for path, leaf in leaves}
+    return {f"{prefix}/{k}": np.asarray(v) for k, v in flat.items()}
+
+
+def save_checkpoint(
+    path: str,
+    params: dict,
+    opt_state=None,
+    step: int = 0,
+    epoch: int = 0,
+    config_json: str = "{}",
+    extra: dict[str, Any] | None = None,
+) -> str:
+    arrays = _flatten("params", params)
+    meta = {
+        "step": int(step),
+        "epoch": int(epoch),
+        "config": config_json,
+        "format_version": 1,
+    }
+    if extra:
+        meta.update(extra)
+    arrays["meta/json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    ).copy()
+    if opt_state is not None:
+        opt_leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        for i, leaf in enumerate(opt_leaves):
+            arrays[f"opt_state/{i}"] = np.asarray(leaf)
+        arrays["meta/opt_num_leaves"] = np.asarray(len(opt_leaves))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    return path
+
+
+def peek(path: str) -> dict[str, Any]:
+    """Checkpoint metadata without loading tensor data (reference peek(),
+    checkpoint.py:44-57)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta/json"]).decode())
+        meta["keys"] = [k for k in z.files if k.startswith("params/")]
+    return meta
+
+
+def load_checkpoint(path: str, opt_state_template=None):
+    """Returns (params, opt_state|None, meta)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta/json"]).decode())
+        flat_params = {
+            k[len("params/") :]: z[k] for k in z.files if k.startswith("params/")
+        }
+        params = traverse_util.unflatten_dict(flat_params, sep="/")
+        opt_state = None
+        if opt_state_template is not None and "meta/opt_num_leaves" in z.files:
+            n = int(z["meta/opt_num_leaves"])
+            leaves = [z[f"opt_state/{i}"] for i in range(n)]
+            treedef = jax.tree_util.tree_structure(opt_state_template)
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, opt_state, meta
+
+
+def merge_film_checkpoint(backbone_params: dict, film_params: dict) -> dict:
+    """Overlay film-generator weights onto a backbone param tree (reference
+    film-weights merge, sfno/model.py:909-912, 983-1005)."""
+    merged = dict(traverse_util.flatten_dict(backbone_params, sep="/"))
+    for k, v in traverse_util.flatten_dict(film_params, sep="/").items():
+        merged[k] = v
+    return traverse_util.unflatten_dict(merged, sep="/")

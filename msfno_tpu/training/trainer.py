@@ -1,0 +1,368 @@
+"""Training orchestration (reference Trainer, MSFNO/Models/train.py:35-1337).
+
+TPU-first structure: the entire optimization step — multi-step autoregressive
+rollout, loss with discount/skip semantics, gradient, optimizer update — is
+one jitted function over a TrainState pytree; the host loop only feeds
+batches and handles cadence (validation, checkpointing, film-scale ramp,
+time-limit stop).  Data parallelism is a mesh axis, not a DDP wrapper: batches
+are sharded over "data" and gradients are reduced by construction under jit
+(vs. reference NCCL DDP, train.py:370-380).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from msfno_tpu.data.normalization import Normalizer, SSTNormalizer
+from msfno_tpu.data.synthetic import Batch, gen_batch, synthetic_loader
+from msfno_tpu.models import FourierNeuralOperatorNet, FourierNeuralOperatorNetFilmed
+from msfno_tpu.training import checkpoint as ckpt_io
+from msfno_tpu.training.losses import get_loss
+from msfno_tpu.training.optim import create_optimizer
+from msfno_tpu.training.partition import (
+    count_params,
+    film_trainable_predicate,
+    merge_params,
+    split_params,
+)
+from msfno_tpu.utils.config import SFNOConfig, TrainConfig, to_json
+from msfno_tpu.utils.observability import FinTraining, LocalLog, Timer
+
+log = logging.getLogger("msfno_tpu")
+
+
+@struct.dataclass
+class TrainState:
+    trainable: dict
+    frozen: dict
+    opt_state: Any
+    step: jax.Array
+    film_scale: jax.Array
+
+    @property
+    def params(self) -> dict:
+        return merge_params(self.trainable, self.frozen)
+
+
+class Trainer:
+    """Drives training/validation/evaluation of SFNO and filmed-SFNO models."""
+
+    def __init__(
+        self,
+        model_cfg: SFNOConfig,
+        train_cfg: TrainConfig,
+        normalizer: Normalizer | None = None,
+        sst_normalizer: SSTNormalizer | None = None,
+        writer: LocalLog | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.cfg = model_cfg
+        self.tcfg = train_cfg
+        self.filmed = model_cfg.film is not None
+        self.model = (
+            FourierNeuralOperatorNetFilmed(model_cfg)
+            if self.filmed
+            else FourierNeuralOperatorNet(model_cfg)
+        )
+        self.normalizer = normalizer or Normalizer.identity(model_cfg.in_chans)
+        self.sst_normalizer = sst_normalizer or SSTNormalizer.identity()
+        self.loss_fn = get_loss(train_cfg.loss_fn)
+        self.tx = create_optimizer(train_cfg)
+        self.writer = writer or LocalLog()
+        self.checkpoint_dir = checkpoint_dir
+        self.epoch = 0
+        self.iter = 0
+        self._start_time = time.time()
+        self._train_step = jax.jit(self._train_step_impl)
+        self._val_step = jax.jit(self._val_step_impl)
+
+    # ------------------------------------------------------------- setup
+
+    def init_state(self, rng: jax.Array | None = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tcfg.seed)
+        h, w = self.cfg.img_size
+        x = jnp.zeros((1, h, w, self.cfg.in_chans))
+        if self.filmed:
+            f = self.cfg.film
+            sst = jnp.zeros((1, f.temporal_step, *f.sst_shape))
+            params = self.model.init(rng, x, sst)["params"]
+            pred = film_trainable_predicate(
+                self.tcfg.retrain_film, self.cfg.num_layers
+            )
+            trainable, frozen = split_params(params, pred)
+        else:
+            params = self.model.init(rng, x)["params"]
+            trainable, frozen = params, {}
+        log.info(
+            "params: %d trainable / %d frozen",
+            count_params(trainable),
+            count_params(frozen),
+        )
+        return TrainState(
+            trainable=trainable,
+            frozen=frozen,
+            opt_state=self.tx.init(trainable),
+            step=jnp.zeros((), jnp.int32),
+            film_scale=jnp.asarray(self.tcfg.film_scale_start, jnp.float32),
+        )
+
+    # -------------------------------------------------------- forward/loss
+
+    def _apply(self, params, x, sst, scale):
+        variables = {"params": params}
+        if self.filmed:
+            return self.model.apply(variables, x, sst, scale)
+        return self.model.apply(variables, x)
+
+    def _rollout_loss(self, params, era5, sst, scale):
+        """Multi-step autoregressive loss (reference train.py:146-197).
+
+        era5: (S, B, H, W, C) raw; sst: (S, B, T, Hs, Ws) or None.
+        loss = sum_step disc^step * L(out, gt) / (ms+1) / (acc+1).
+        """
+        t = self.tcfg
+        ms, skip = t.multi_step_training, t.training_step_skip
+        inp = self.normalizer(era5[0])
+        total = 0.0
+        per_step = []
+        for step in range(ms + 1):
+            sst_step = (
+                self.sst_normalizer(sst[step + 1]) if sst is not None else None
+            )
+            out = self._apply(params, inp, sst_step, scale)
+            if step % (skip + 1) == 0:
+                gt = self.normalizer(era5[step + 1])
+                l = (
+                    self.loss_fn(out, gt)
+                    / (ms + 1)
+                    / (t.accumulation_steps + 1)
+                    * t.discount_factor**step
+                )
+                total = total + l
+                per_step.append(l)
+            inp = out
+        return total, jnp.stack(per_step)
+
+    def _train_step_impl(self, state: TrainState, era5, sst):
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            return self._rollout_loss(params, era5, sst, state.film_scale)
+
+        (loss, per_step), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.trainable)
+        import optax
+
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = dataclasses.replace(
+            state,
+            trainable=trainable,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "per_step": per_step, "grad_norm": gnorm}
+
+    def _val_step_impl(self, state: TrainState, era5, sst):
+        """Validation rollout: per-step loss and per-variable MSE
+        (reference validation(), train.py:533-654)."""
+        params = merge_params(state.trainable, state.frozen)
+        t = self.tcfg
+        ms, skip = t.multi_step_validation, t.validation_step_skip
+        inp = self.normalizer(era5[0])
+        losses, per_var = [], []
+        for step in range(ms + 1):
+            sst_step = (
+                self.sst_normalizer(sst[step + 1]) if sst is not None else None
+            )
+            out = self._apply(params, inp, sst_step, state.film_scale)
+            if step % (skip + 1) == 0:
+                gt = self.normalizer(era5[step + 1])
+                losses.append(self.loss_fn(out, gt))
+                per_var.append(jnp.mean((out - gt) ** 2, axis=(0, 1, 2)))
+            inp = out
+        return jnp.stack(losses), jnp.stack(per_var)
+
+    # ------------------------------------------------------------ loops
+
+    def _device_batch(self, batch: Batch):
+        era5 = jnp.asarray(batch.era5)
+        sst = jnp.asarray(batch.sst) if batch.sst is not None else None
+        return era5, sst
+
+    def train(
+        self,
+        state: TrainState,
+        loader: Iterator[Batch] | None = None,
+        val_loader: Callable[[], Iterator[Batch]] | None = None,
+        num_batches: int = 10,
+    ) -> TrainState:
+        """Epoch loop (reference train()/train_epoch, train.py:64-298)."""
+        t = self.tcfg
+        try:
+            for self.epoch in range(t.training_epochs):
+                it = loader or synthetic_loader(
+                    self.cfg,
+                    t.batch_size,
+                    t.multi_step_training,
+                    num_batches,
+                    seed=t.seed + self.epoch,  # pre_epoch re-seed (train.py:300-305)
+                )
+                for i, batch in enumerate(it):
+                    self._check_time_limit()
+                    era5, sst = self._device_batch(batch)
+                    state, metrics = self._train_step(state, era5, sst)
+                    self.iter = int(state.step)
+                    self.writer.log(
+                        {
+                            "loss": float(metrics["loss"]),
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "film scale": float(state.film_scale),
+                        },
+                        step=self.iter,
+                    )
+                    if (
+                        t.validation_interval > 0
+                        and self.iter % t.validation_interval == 0
+                    ):
+                        state = self.validation(state, val_loader)
+                        if (
+                            self.checkpoint_dir
+                            and (self.iter // t.validation_interval)
+                            % t.save_checkpoint_interval
+                            == 0
+                        ):
+                            self.save_checkpoint(state)
+                # post_epoch: validate + checkpoint (train.py:307-316)
+                state = self.validation(state, val_loader)
+                if self.checkpoint_dir:
+                    self.save_checkpoint(state)
+        except FinTraining as e:
+            log.info("training finished early: %s", e)
+            if self.checkpoint_dir:
+                self.save_checkpoint(state)
+        return state
+
+    def validation(
+        self, state: TrainState, val_loader: Callable[[], Iterator[Batch]] | None = None
+    ) -> TrainState:
+        t = self.tcfg
+        batches = (
+            list(val_loader())
+            if val_loader is not None
+            else [
+                gen_batch(
+                    self.cfg, t.batch_size, t.multi_step_validation, seed=10_000 + i
+                )
+                for i in range(2)
+            ]
+        )
+        all_losses, all_var = [], []
+        for batch in batches:
+            era5, sst = self._device_batch(batch)
+            losses, per_var = self._val_step(state, era5, sst)
+            all_losses.append(np.asarray(losses))
+            all_var.append(np.asarray(per_var))
+        mean_losses = np.mean(all_losses, axis=0)
+        metrics = {
+            f"validation loss step={k}": float(v) for k, v in enumerate(mean_losses)
+        }
+        mean_var = np.mean(all_var, axis=0)
+        for k in range(mean_var.shape[0]):
+            for c in range(mean_var.shape[1]):
+                metrics[f"MSE var{c} step={k}"] = float(mean_var[k, c])
+        self.writer.log(metrics, step=self.iter)
+        # FiLM scale ramp: += film_scale_step until 1 (train.py:638-641)
+        if self.filmed and float(state.film_scale) < 1.0:
+            state = dataclasses.replace(
+                state,
+                film_scale=jnp.minimum(
+                    state.film_scale + self.tcfg.film_scale_step, 1.0
+                ),
+            )
+        return state
+
+    # ------------------------------------------------------ housekeeping
+
+    def _check_time_limit(self):
+        """Graceful stop 15 min before the wall (reference time_limit_stop,
+        train.py:821-828)."""
+        t = self.tcfg
+        if t.time_limit_s is None:
+            return
+        if time.time() - self._start_time > t.time_limit_s - 15 * 60:
+            raise FinTraining("time limit reached")
+
+    def save_checkpoint(self, state: TrainState, tag: str = "") -> str | None:
+        if self.checkpoint_dir is None:
+            return None
+        import os
+
+        name = f"checkpoint_iter={self.iter}_epoch={self.epoch}{tag}.npz"
+        path = os.path.join(self.checkpoint_dir, name)
+        ckpt_io.save_checkpoint(
+            path,
+            state.params,
+            opt_state=state.opt_state,
+            step=self.iter,
+            epoch=self.epoch,
+            config_json=to_json(self.cfg),
+            extra={"film_scale": float(state.film_scale)},
+        )
+        self.writer.save(f"_epoch{self.epoch}")
+        return path
+
+    # ------------------------------------------------ perf harness trio
+    # (reference --test-performance: train.py:1196-1337)
+
+    def test_model_speed(self, state: TrainState, iters: int = 10) -> float:
+        """Forward-pass speed on synthetic data (train.py:1196-1208)."""
+        batch = gen_batch(self.cfg, self.tcfg.batch_size, 0, seed=0)
+        era5, sst = self._device_batch(batch)
+        params = state.params
+        fwd = jax.jit(lambda p, x, s: self._apply(p, x, s, state.film_scale))
+        fwd(params, era5[0], sst[0] if sst is not None else None).block_until_ready()
+        with Timer("model fwd", divisor=iters) as tm:
+            for _ in range(iters):
+                out = fwd(params, era5[0], sst[0] if sst is not None else None)
+            out.block_until_ready()
+        return tm.seconds
+
+    def test_dataloader_speed(self, loader: Iterator[Batch], iters: int = 5) -> float:
+        """(reference test_dataloader_speed, train.py:1282-1289)"""
+        with Timer("dataloader", divisor=iters) as tm:
+            for i, _ in enumerate(loader):
+                if i + 1 >= iters:
+                    break
+        return tm.seconds
+
+    def test_batch_size(
+        self, candidates: tuple[int, ...] = (1, 2, 4, 8, 16)
+    ) -> int:
+        """Grow batch size until OOM on synthetic data (train.py:1296-1337)."""
+        best = 0
+        for b in candidates:
+            try:
+                tcfg = dataclasses.replace(self.tcfg, batch_size=b)
+                probe = Trainer(self.cfg, tcfg)
+                st = probe.init_state()
+                batch = gen_batch(self.cfg, b, tcfg.multi_step_training, seed=0)
+                era5, sst = probe._device_batch(batch)
+                st, m = probe._train_step(st, era5, sst)
+                jax.block_until_ready(m["loss"])
+                best = b
+                log.info("batch size %d OK", b)
+            except Exception as e:  # XlaRuntimeError on OOM
+                log.info("batch size %d failed: %s", b, type(e).__name__)
+                break
+        return best

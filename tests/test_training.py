@@ -1,0 +1,279 @@
+"""Trainer tests: loss semantics, freezing, end-to-end training steps,
+checkpoint round-trips (SURVEY.md section 4 test plan)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msfno_tpu.data.synthetic import gen_batch, synthetic_land_mask, synthetic_loader
+from msfno_tpu.training import checkpoint as ckpt_io
+from msfno_tpu.training.losses import (
+    cosine_mse,
+    l2_sphere,
+    l2_sphere_nosine,
+    normal_crps,
+    spectral_l2loss_sphere,
+)
+from msfno_tpu.training.partition import (
+    film_trainable_predicate,
+    merge_params,
+    split_params,
+)
+from msfno_tpu.training.trainer import Trainer
+from msfno_tpu.utils.config import FilmConfig, SFNOConfig, TrainConfig
+from msfno_tpu.ops.sht import RealSHT
+
+
+def small_cfg(film=False):
+    f = (
+        FilmConfig(
+            film_gen_type="gcn_custom",
+            model_depth=1,
+            embed_dim=16,
+            mlp_dim=16,
+            num_film_features=8,
+            sst_shape=(8, 16),
+            temporal_step=2,
+        )
+        if film
+        else None
+    )
+    return SFNOConfig(
+        img_size=(16, 32),
+        scale_factor=2,
+        in_chans=3,
+        out_chans=3,
+        embed_dim=8,
+        num_layers=2,
+        spectral_layers=1,
+        film=f,
+    )
+
+
+class TestLosses:
+    def test_zero_at_equal(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32, 3))
+        assert float(l2_sphere_nosine(x, x)) == pytest.approx(0.0, abs=1e-6)
+        assert float(l2_sphere(x, x)) == pytest.approx(0.0, abs=1e-6)
+        assert float(cosine_mse(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_positive_and_finite(self):
+        k = jax.random.PRNGKey(1)
+        x = jax.random.normal(k, (2, 16, 32, 3))
+        y = x + 0.1
+        for fn in (l2_sphere_nosine, l2_sphere, cosine_mse):
+            v = float(fn(x, y))
+            assert np.isfinite(v) and v > 0
+
+    def test_relative_scaling_invariance(self):
+        """Relative L2 is invariant to global rescaling of (prd, tar)."""
+        k = jax.random.PRNGKey(2)
+        x = jax.random.normal(k, (1, 16, 32, 2))
+        y = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 32, 2))
+        a = float(l2_sphere_nosine(x, y))
+        b = float(l2_sphere_nosine(10 * x, 10 * y))
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    def test_spectral_l2_parseval(self):
+        """Spectral L2 via SHT matches grid-space quadrature L2 (Parseval)."""
+        nlat, nlon, lmax = 32, 64, 16
+        sht = RealSHT(nlat, nlon, lmax=lmax, mmax=lmax + 1)
+        from msfno_tpu.ops.sht import InverseRealSHT
+
+        isht = InverseRealSHT(nlat, nlon, lmax=lmax, mmax=lmax + 1)
+        # band-limited field
+        from tests.test_sht import _random_coeffs
+
+        coeffs = _random_coeffs(jax.random.PRNGKey(4), lmax, lmax + 1, 1)
+        x = isht(coeffs)[None]  # (1, H, W, 1)
+        spec = float(spectral_l2loss_sphere(sht, x, jnp.zeros_like(x)))
+        # grid norm: 2*pi*sum_k w_k mean_lon x^2
+        from msfno_tpu.ops.quadrature import legendre_gauss
+
+        _, w = legendre_gauss(nlat)
+        grid = float(
+            2 * np.pi * np.sum(np.asarray(w)[:, None] * np.mean(np.asarray(x[0, :, :, 0]) ** 2, axis=-1, keepdims=True))
+        )
+        np.testing.assert_allclose(spec, grid, rtol=1e-3)
+
+    def test_normal_crps_perfect_forecast(self):
+        """CRPS -> 0 as sigma -> 0 with mu == obs."""
+        obs = jnp.ones((4, 4))
+        v = float(
+            normal_crps(obs, jnp.full((4, 4), -20.0), obs, sigma_transform="softplus")
+        )
+        assert abs(v) < 1e-6
+
+    def test_normal_crps_mask(self):
+        obs = jnp.zeros((2, 2))
+        mu = jnp.asarray([[0.0, 5.0], [0.0, 5.0]])
+        sigma = jnp.zeros((2, 2))
+        mask = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+        masked = float(normal_crps(mu, sigma, obs, mask=mask))
+        good = float(normal_crps(jnp.zeros((2, 2)), sigma, obs))
+        np.testing.assert_allclose(masked, good, atol=1e-6)
+
+
+class TestPartition:
+    def test_film_only(self):
+        params = {
+            "encoder": {"w": jnp.ones(3)},
+            "film_gen": {"w": jnp.ones(2)},
+            "blocks_0": {"w": jnp.ones(1)},
+            "decoder": {"w": jnp.ones(1)},
+        }
+        pred = film_trainable_predicate(False, num_layers=2)
+        t, f = split_params(params, pred)
+        assert set(t) == {"film_gen"}
+        assert set(f) == {"encoder", "blocks_0", "decoder"}
+        merged = merge_params(t, f)
+        assert set(merged) == set(params)
+
+    def test_retrain_film(self):
+        params = {
+            "film_gen": {"w": jnp.ones(2)},
+            "blocks_0": {"w": jnp.ones(1)},
+            "blocks_1": {"w": jnp.ones(1)},
+            "decoder": {"w": jnp.ones(1)},
+            "encoder": {"w": jnp.ones(1)},
+        }
+        pred = film_trainable_predicate(True, num_layers=2, retrain_blocks=1)
+        t, _ = split_params(params, pred)
+        assert set(t) == {"film_gen", "blocks_1", "decoder"}
+
+
+class TestTrainer:
+    def test_plain_training_reduces_loss(self):
+        cfg = small_cfg(film=False)
+        tcfg = TrainConfig(
+            batch_size=2, learning_rate=1e-3, validation_interval=0, training_epochs=1
+        )
+        tr = Trainer(cfg, tcfg)
+        state = tr.init_state()
+        batch = gen_batch(cfg, 2, 0, seed=0)
+        era5 = jnp.asarray(batch.era5)
+        losses = []
+        for _ in range(8):
+            state, m = tr._train_step(state, era5, None)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_filmed_step_only_updates_film(self):
+        cfg = small_cfg(film=True)
+        # scale must be nonzero for film gradients to exist (FiLM is scaled
+        # by the ramp; at scale=0 the modulation is the identity)
+        tcfg = TrainConfig(batch_size=1, learning_rate=1e-3, film_scale_start=1.0)
+        tr = Trainer(cfg, tcfg)
+        state = tr.init_state()
+        frozen_before = jax.tree_util.tree_map(np.asarray, state.frozen)
+        batch = gen_batch(cfg, 1, 0, seed=0)
+        era5, sst = jnp.asarray(batch.era5), jnp.asarray(batch.sst)
+        state2, m = tr._train_step(state, era5, sst)
+        assert np.isfinite(float(m["loss"]))
+        # frozen params unchanged bit-for-bit
+        for (p1, p2) in zip(
+            jax.tree_util.tree_leaves(frozen_before),
+            jax.tree_util.tree_leaves(state2.frozen),
+        ):
+            np.testing.assert_array_equal(p1, np.asarray(p2))
+        # film params changed
+        diffs = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.trainable),
+                jax.tree_util.tree_leaves(state2.trainable),
+            )
+        ]
+        assert max(diffs) > 0
+
+    def test_multi_step_discount(self):
+        cfg = small_cfg(film=False)
+        tcfg = TrainConfig(
+            batch_size=1,
+            multi_step_training=2,
+            discount_factor=0.5,
+            training_step_skip=1,
+        )
+        tr = Trainer(cfg, tcfg)
+        state = tr.init_state()
+        batch = gen_batch(cfg, 1, 2, seed=0)
+        state, m = tr._train_step(state, jnp.asarray(batch.era5), None)
+        # steps scored: 0 and 2 (skip=1) -> per_step has 2 entries
+        assert m["per_step"].shape == (2,)
+
+    def test_train_loop_with_validation(self, tmp_path):
+        cfg = small_cfg(film=True)
+        tcfg = TrainConfig(
+            batch_size=1,
+            validation_interval=2,
+            training_epochs=1,
+            film_scale_start=0.0,
+        )
+        tr = Trainer(cfg, tcfg, checkpoint_dir=str(tmp_path))
+        state = tr.init_state()
+        state = tr.train(state, num_batches=4)
+        # scale ramped by validations
+        assert float(state.film_scale) > 0
+        cps = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+        assert cps
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig())
+        state = tr.init_state()
+        path = str(tmp_path / "cp.npz")
+        ckpt_io.save_checkpoint(
+            path, state.params, opt_state=state.opt_state, step=3, epoch=1,
+            config_json="{}",
+        )
+        meta = ckpt_io.peek(path)
+        assert meta["step"] == 3 and meta["epoch"] == 1
+        params, opt_state, _ = ckpt_io.load_checkpoint(
+            path, opt_state_template=state.opt_state
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        assert opt_state is not None
+
+    def test_model_speed_harness(self):
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig())
+        state = tr.init_state()
+        sec = tr.test_model_speed(state, iters=2)
+        assert sec > 0
+
+    def test_accumulation(self):
+        cfg = small_cfg(film=False)
+        tcfg = TrainConfig(batch_size=1, accumulation_steps=1)
+        tr = Trainer(cfg, tcfg)
+        state = tr.init_state()
+        batch = gen_batch(cfg, 1, 0, seed=0)
+        era5 = jnp.asarray(batch.era5)
+        p0 = jax.tree_util.tree_leaves(state.trainable)[0]
+        # first micro-step: MultiSteps should not yet apply updates
+        state, _ = tr._train_step(state, era5, None)
+        p1 = jax.tree_util.tree_leaves(state.trainable)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        state, _ = tr._train_step(state, era5, None)
+        p2 = jax.tree_util.tree_leaves(state.trainable)[0]
+        assert np.abs(np.asarray(p2) - np.asarray(p1)).max() > 0
+
+
+class TestSynthetic:
+    def test_land_mask_fraction(self):
+        m = synthetic_land_mask(32, 64, frac=0.3)
+        assert 0.2 < m.mean() < 0.4
+
+    def test_batch_shapes(self):
+        cfg = small_cfg(film=True)
+        b = gen_batch(cfg, batch_size=2, multi_step=1)
+        assert b.era5.shape == (3, 2, 16, 32, 3)
+        assert b.sst.shape == (3, 2, 2, 8, 16)
+        assert np.isnan(b.sst).any()
