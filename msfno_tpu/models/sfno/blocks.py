@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from msfno_tpu.parallel.annotate import annotate_grid
 from msfno_tpu.models.sfno.layers import (
     InstanceNorm,
     Mlp,
@@ -194,4 +195,4 @@ class FourierNeuralOperatorBlock(nn.Module):
         elif self.outer_skip == "identity":
             x = x + residual
 
-        return x
+        return annotate_grid(x)

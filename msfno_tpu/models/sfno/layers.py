@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msfno_tpu.ops.activations import complex_relu
+from msfno_tpu.parallel.annotate import annotate_spectral
 from msfno_tpu.ops.contractions import (
     compl_contract_dense,
     compl_contract_tril,
@@ -165,6 +166,7 @@ class SpectralAttentionS2(nn.Module):
         in_dtype = x.dtype
         hidden = int(self.hidden_size_factor * self.embed_dim)
         x = self.forward_transform(x.astype(jnp.float32))
+        x = annotate_spectral(x)
 
         dims = [self.embed_dim] + [hidden] * self.spectral_layers
         for layer in range(self.spectral_layers):
@@ -179,6 +181,7 @@ class SpectralAttentionS2(nn.Module):
             "wout", scaled_normal_init(self.scale), (hidden, self.embed_dim, 2)
         )
         x = compl_mul(x, to_complex(wout))
+        x = annotate_spectral(x)
 
         x = self.inverse_transform(x)
         return x.astype(in_dtype)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msfno_tpu.models.sfno.blocks import FourierNeuralOperatorBlock
+from msfno_tpu.parallel.annotate import annotate_grid
 from msfno_tpu.models.sfno.layers import Mlp, trunc_normal_init
 from msfno_tpu.ops.fft import InverseRealFFT2, RealFFT2
 from msfno_tpu.ops.sht import InverseRealSHT, RealSHT
@@ -121,6 +122,7 @@ class FourierNeuralOperatorNet(nn.Module):
                 (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
             )
             x = x + pe.astype(x.dtype)
+        x = annotate_grid(x)
 
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:
@@ -182,6 +184,7 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
                 (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
             )
             x = x + pe.astype(x.dtype)
+        x = annotate_grid(x)
 
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:

@@ -1,0 +1,112 @@
+"""Device mesh and sharding rules.
+
+Replaces the reference's single-node DDP/NCCL stack (main.py:39-49,
+train.py:370-380) with SPMD over a jax.sharding.Mesh.  Axes:
+
+  data    — batch (pure DP; reference parity)
+  lat     — latitude bands in grid space / longitudinal orders m in spectral
+            space.  The FFT->Legendre "transpose" between those two shardings
+            is the all_to_all the reference has no analogue for
+            (SURVEY.md section 2.3 / 5.7).
+  channel — embedding channels (lane axis)
+
+Under jit, activations are annotated with with_sharding_constraint at layer
+boundaries (see msfno_tpu/parallel/annotate.py) and XLA GSPMD inserts the
+collectives; gradients are reduced by construction (no DDP hooks, no
+barriers).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "lat", "channel")
+
+
+def factorize(n: int) -> tuple[int, int, int]:
+    """Split n devices into (data, lat, channel) sizes, preferring model axes
+    so the sharded-SHT path is exercised."""
+    if n == 1:
+        return (1, 1, 1)
+    best = (n, 1, 1)
+    # prefer lat >= channel >= 1, data picks up the rest
+    for lat in range(min(n, 8), 0, -1):
+        if n % lat:
+            continue
+        rest = n // lat
+        for ch in range(min(rest, 4), 0, -1):
+            if rest % ch:
+                continue
+            return (rest // ch, lat, ch)
+    return best
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    shape: tuple[int, int, int] | None = None,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    shape = shape or factorize(n)
+    if math.prod(shape) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, AXES)
+
+
+# ------------------------------------------------------ partition specs
+
+def grid_pspec(batched: bool = True) -> P:
+    """(B, H, W, C_embed): batch over data, latitude over lat, channels over
+    channel."""
+    return P("data", "lat", None, "channel") if batched else P("lat", None, "channel")
+
+
+def spectral_pspec() -> P:
+    """(B, L, M, C): orders m over lat (post-transpose layout), channels over
+    channel."""
+    return P("data", None, "lat", "channel")
+
+
+def batch_pspec() -> P:
+    """Raw input batch (B, H, W, C_in): C_in (73) stays unsharded."""
+    return P("data", "lat", None, None)
+
+
+def io_shardings(mesh: Mesh):
+    return {
+        "era5": NamedSharding(mesh, P(None, "data", "lat", None, None)),  # (S,B,H,W,C)
+        "sst": NamedSharding(mesh, P(None, "data", None, None, None)),
+        "replicated": NamedSharding(mesh, P()),
+    }
+
+
+def param_pspec(path: tuple[str, ...], value) -> P:
+    """Parameter sharding rules.  Most params are small and replicated; the
+    pos_embed (H, W, C — ~1 GB at full size, sfnonet.py:528-530) is sharded
+    over (lat, channel), and per-mode spectral conv weights over channel."""
+    name = "/".join(str(p) for p in path)
+    if name.endswith("pos_embed"):
+        return P("lat", None, "channel")
+    if value.ndim >= 3 and name.endswith("/w") and "filter" in name:
+        # SpectralConvS2 (K, C_in, C_out, 2)
+        return P(None, None, "channel", None)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree for a param tree."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {
+        k: NamedSharding(mesh, param_pspec(k, v)) for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(out)

@@ -1,0 +1,86 @@
+"""Multi-device SPMD tests on the simulated 8-device CPU mesh
+(SURVEY.md section 4: jax CPU-device simulation of multi-host)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msfno_tpu.data.synthetic import gen_batch
+from msfno_tpu.parallel import make_mesh, make_sharded_train_step, factorize
+from msfno_tpu.parallel.sharded_train import shard_state
+from msfno_tpu.training.trainer import Trainer
+from msfno_tpu.utils.config import TrainConfig
+from tests.test_training import small_cfg
+
+
+def test_factorize():
+    assert np.prod(factorize(8)) == 8
+    assert np.prod(factorize(4)) == 4
+    assert factorize(1) == (1, 1, 1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestShardedTraining:
+    def test_sharded_step_runs(self):
+        mesh = make_mesh(8, shape=(2, 2, 2))
+        cfg = small_cfg(film=True)
+        tcfg = TrainConfig(batch_size=2, film_scale_start=1.0)
+        tr = Trainer(cfg, tcfg)
+        state = shard_state(tr.init_state(), mesh)
+        step, place = make_sharded_train_step(tr, mesh)
+        batch = gen_batch(cfg, 2, 0, seed=0)
+        era5, sst = place(batch.era5, batch.sst)
+        state, metrics = step(state, era5, sst)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sharded_matches_single_device(self):
+        """SPMD result == single-device result (same params, same batch)."""
+        cfg = small_cfg(film=False)
+        # SGD: updates are lr*grad, so single- vs multi-device results are
+        # directly comparable (Adam's 1/sqrt(v) amplifies fp noise on
+        # near-zero gradients into O(lr) sign-flip differences)
+        tcfg = TrainConfig(batch_size=2, learning_rate=1e-3, optimizer="sgd")
+        tr = Trainer(cfg, tcfg)
+        state0 = tr.init_state()
+        batch = gen_batch(cfg, 2, 0, seed=1)
+        era5 = jnp.asarray(batch.era5)
+
+        # single device
+        s1, m1 = tr._train_step(state0, era5, None)
+
+        # 8-device mesh
+        mesh = make_mesh(8, shape=(2, 2, 2))
+        tr2 = Trainer(cfg, tcfg)
+        sharded = shard_state(tr.init_state(), mesh)  # fresh but same seed
+        step, place = make_sharded_train_step(tr2, mesh)
+        e2, _ = place(batch.era5)
+        s2, m2 = step(sharded, e2, None)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+        # updated params agree
+        l1 = jax.tree_util.tree_leaves(s1.trainable)
+        l2 = jax.tree_util.tree_leaves(s2.trainable)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+            )
+
+    def test_dp_only_mesh(self):
+        mesh = make_mesh(8, shape=(8, 1, 1))
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig(batch_size=8))
+        state = shard_state(tr.init_state(), mesh)
+        step, place = make_sharded_train_step(tr, mesh)
+        batch = gen_batch(cfg, 8, 0, seed=0)
+        era5, _ = place(batch.era5)
+        state, metrics = step(state, era5, None)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver-facing dryrun compiles and executes on 8 CPU devices."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
