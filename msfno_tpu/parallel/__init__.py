@@ -13,4 +13,10 @@ from msfno_tpu.parallel.annotate import (  # noqa: F401
     annotate_grid,
     annotate_spectral,
 )
-from msfno_tpu.parallel.sharded_train import make_sharded_train_step  # noqa: F401
+
+def make_sharded_train_step(*args, **kwargs):
+    # lazy import: sharded_train pulls in the trainer (-> models), which
+    # itself imports parallel.annotate from this package
+    from msfno_tpu.parallel.sharded_train import make_sharded_train_step as f
+
+    return f(*args, **kwargs)
