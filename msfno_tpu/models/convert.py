@@ -1,0 +1,161 @@
+"""Reference (PyTorch) checkpoint -> flax param-tree converter.
+
+Ingests the ECMWF FourCastNetv2-small ``weights.tar`` / reference training
+checkpoints (layouts per MSFNO/Models/sfno/model.py:207-271: optional
+"module." prefixes, dead "module.norm.*" keys dropped, film weights under
+"film_gen."), remapping every tensor into this framework's channels-last
+layout:
+
+  torch Conv2d 1x1   (out, in, 1, 1)  ->  Dense kernel (in, out)
+  torch Linear       (out, in)        ->  Dense kernel (in, out)
+  pos_embed          (1, C, H, W)     ->  (H, W, C)
+  spectral MLP w_l   (in, hid, 2)     ->  w{l} (in, hid, 2)      [unchanged]
+  SpectralConvS2 w   (out, in, K, 2)  ->  w (K, in, out, 2)
+  InstanceNorm affine (C,)            ->  norm scale/bias (C,)   [unchanged]
+
+Works from either a torch state_dict (if torch is importable) or a
+{name: np.ndarray} mapping.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+from flax import traverse_util
+
+DROP_KEYS = {"norm.weight", "norm.bias"}  # dead keys (model.py:218)
+# torch_harmonics transform buffers — not parameters in this framework
+BUFFER_PATTERNS = (
+    re.compile(r"^(trans|itrans|trans_down|itrans_up)\."),
+    re.compile(r"\.(ii|jj)$"),
+)
+
+
+def _to_numpy(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def strip_module_prefix(state: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Remove DDP "module." prefixes (model.py:232-240)."""
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k == "ged":
+            continue
+        out[k] = v
+    return out
+
+
+def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w[:, :, 0, 0].T)
+
+
+def _linear_to_dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def convert_sfno_state_dict(
+    state: Mapping[str, object], num_layers: int = 12
+) -> dict:
+    """Reference FourierNeuralOperatorNet(_Filmed) state_dict -> flax params.
+
+    Unknown keys are collected under "_unconverted" names in the returned
+    report; call sites should assert it is empty for strict loads.
+    """
+    state = strip_module_prefix({k: _to_numpy(v) for k, v in state.items()})
+    flat: dict[str, np.ndarray] = {}
+    report: list[str] = []
+
+    def put(path: str, v: np.ndarray):
+        flat[path] = v
+
+    for k, v in state.items():
+        if k in DROP_KEYS or any(p.search(k) for p in BUFFER_PATTERNS):
+            continue
+        m = re.match(r"^encoder\.fwd\.(\d)\.(weight|bias)$", k)
+        if m:
+            idx, kind = m.groups()
+            fc = "fc1" if idx == "0" else "fc2"
+            put(
+                f"encoder/{fc}/{'kernel' if kind == 'weight' else 'bias'}",
+                _conv1x1_to_dense(v) if kind == "weight" else v,
+            )
+            continue
+        m = re.match(r"^decoder\.fwd\.(\d)\.(weight|bias)$", k)
+        if m:
+            idx, kind = m.groups()
+            fc = "fc1" if idx == "0" else "fc2"
+            put(
+                f"decoder/{fc}/{'kernel' if kind == 'weight' else 'bias'}",
+                _conv1x1_to_dense(v) if kind == "weight" else v,
+            )
+            continue
+        if k == "pos_embed":
+            put("pos_embed", np.ascontiguousarray(np.transpose(v[0], (1, 2, 0))))
+            continue
+        m = re.match(r"^blocks\.(\d+)\.(.*)$", k)
+        if m:
+            i, rest = m.groups()
+            base = f"blocks_{i}"
+            m2 = re.match(r"^norm([01])\.(weight|bias)$", rest)
+            if m2:
+                n, kind = m2.groups()
+                put(
+                    f"{base}/norm{n}/{'scale' if kind == 'weight' else 'bias'}",
+                    v,
+                )
+                continue
+            m2 = re.match(r"^filter_layer\.filter\.w\.(\d+)$", rest)
+            if m2:
+                put(f"{base}/filter/w{m2.group(1)}", v)
+                continue
+            if rest == "filter_layer.filter.wout":
+                put(f"{base}/filter/wout", v)
+                continue
+            if rest == "filter_layer.filter.w":
+                # SpectralConvS2 (out, in, K, 2) -> (K, in, out, 2)
+                put(f"{base}/filter/w", np.transpose(v, (2, 1, 0, 3)))
+                continue
+            m2 = re.match(r"^(inner_skip|outer_skip)\.(weight|bias)$", rest)
+            if m2:
+                name, kind = m2.groups()
+                put(
+                    f"{base}/{name}/{'kernel' if kind == 'weight' else 'bias'}",
+                    _conv1x1_to_dense(v) if kind == "weight" else v,
+                )
+                continue
+            m2 = re.match(r"^mlp\.fwd\.(\d)\.(weight|bias)$", rest)
+            if m2:
+                idx, kind = m2.groups()
+                fc = "fc1" if idx == "0" else "fc2"
+                put(
+                    f"{base}/mlp/{fc}/{'kernel' if kind == 'weight' else 'bias'}",
+                    _conv1x1_to_dense(v) if kind == "weight" else v,
+                )
+                continue
+            report.append(k)
+            continue
+        if k.startswith("film_gen."):
+            # film-generator weights retain their own converter paths; the
+            # reference generators are graph/dataset-specific (asset-file
+            # adjacency) and are re-trained in this framework.
+            report.append(k)
+            continue
+        report.append(k)
+
+    params = traverse_util.unflatten_dict(flat, sep="/")
+    return {"params": params, "unconverted": report}
+
+
+def load_ecmwf_weights_tar(path: str, num_layers: int = 12) -> dict:
+    """Load the ECMWF weights.tar (a torch zip checkpoint) and convert."""
+    import torch
+
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    weights = checkpoint.get("model_state", checkpoint)
+    return convert_sfno_state_dict(weights, num_layers=num_layers)

@@ -1,0 +1,177 @@
+"""Registry, wrappers, converter, and SST/ONI helper tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msfno_tpu.data.sst import compute_oni, coarsen, nino34_mask
+from msfno_tpu.models import get_model
+from msfno_tpu.models.convert import convert_sfno_state_dict
+from msfno_tpu.models.variables import ORDERING, channel_index
+from msfno_tpu.utils.config import FilmConfig, SFNOConfig
+from tests.test_training import small_cfg
+
+
+class TestVariables:
+    def test_73_channels(self):
+        assert len(ORDERING) == 73
+        assert ORDERING[0] == "10u"
+        assert channel_index("2t") == 4
+        assert ORDERING[8] == "u50"
+        assert ORDERING[-1] == "r1000"
+
+
+class TestRegistry:
+    def test_sfno_wrapper(self):
+        w = get_model("sfno", cfg=small_cfg(film=False))
+        p = w.init_params()
+        assert "encoder" in p and "decoder" in p
+
+    def test_filmed_wrapper_get_parameters(self):
+        w = get_model("sfno", "film", cfg=small_cfg(film=True))
+        w.init_params()
+        t = w.get_parameters()
+        assert set(t) == {"film_gen"}
+
+    def test_fcn_wrapper(self):
+        from msfno_tpu.models.registry_fcn import fcn_config
+
+        cfg = fcn_config(20)
+        cfg = SFNOConfig(
+            **{
+                **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+                "img_size": (16, 32),
+                "scale_factor": 4,
+                "embed_dim": 16,
+                "num_layers": 1,
+            }
+        )
+        w = get_model("fcn", "0", cfg=cfg)
+        p = w.init_params()
+        assert w.ordering[0] == "10u"
+        x = jnp.zeros((1, 16, 32, 20))
+        y = w.module.apply({"params": p}, x)
+        assert y.shape == (1, 16, 32, 20)
+
+    def test_mae_wrapper_loss(self):
+        cfg = small_cfg(film=True)
+        w = get_model("mae", cfg=cfg)
+        p = w.init_params()
+        f = cfg.film
+        sst = np.random.randn(2, f.temporal_step, *f.sst_shape).astype(np.float32)
+        sst[:, :, :2, :3] = np.nan
+        loss = float(w.loss(p, jnp.asarray(sst), 0.5, jax.random.PRNGKey(0)))
+        assert np.isfinite(loss)
+
+    def test_lin_probe_fit(self):
+        cfg = small_cfg(film=True)
+        w = get_model("mae", "lin-probe", cfg=cfg)
+        rng = np.random.default_rng(0)
+        # exact linear relationship must be recovered
+        x = rng.standard_normal((64, cfg.film.embed_dim)).astype(np.float32)
+        beta = rng.standard_normal(cfg.film.embed_dim).astype(np.float32)
+        y = x @ beta + 0.5
+        w.fit(x, y, l2=1e-8)
+        assert w.mae_metric(x, y) < 1e-3
+
+    def test_running_yields_fields(self):
+        w = get_model("sfno", cfg=small_cfg(film=False))
+        w.init_params()
+        x0 = np.random.randn(1, 16, 32, 3).astype(np.float32)
+        outs = list(w.running(x0, lead_time_h=12))
+        assert len(outs) == 2
+
+
+class TestConverter:
+    def test_sfno_state_dict_conversion(self):
+        """Build a fake reference-layout torch-style state dict and check the
+        converted tree loads into the flax model."""
+        cfg = small_cfg(film=False)
+        w = get_model("sfno", cfg=cfg)
+        p = w.init_params()
+
+        rng = np.random.default_rng(0)
+        e, h, wdt = cfg.embed_dim, *cfg.img_size
+        sd = {
+            "module.pos_embed": rng.standard_normal((1, e, h, wdt)).astype(np.float32),
+            "module.encoder.fwd.0.weight": rng.standard_normal(
+                (e, cfg.in_chans, 1, 1)
+            ).astype(np.float32),
+            "module.encoder.fwd.0.bias": np.zeros(e, np.float32),
+            "module.encoder.fwd.2.weight": rng.standard_normal((e, e, 1, 1)).astype(
+                np.float32
+            ),
+            "module.norm.weight": np.ones(3, np.float32),  # dead key, dropped
+            "module.blocks.0.norm0.weight": np.ones(e, np.float32),
+            "module.blocks.0.norm0.bias": np.zeros(e, np.float32),
+            "module.blocks.0.filter_layer.filter.w.0": rng.standard_normal(
+                (e, 2 * e, 2)
+            ).astype(np.float32),
+            "module.blocks.0.filter_layer.filter.wout": rng.standard_normal(
+                (2 * e, e, 2)
+            ).astype(np.float32),
+            "module.blocks.1.inner_skip.weight": rng.standard_normal(
+                (e, e, 1, 1)
+            ).astype(np.float32),
+            "module.blocks.1.inner_skip.bias": np.zeros(e, np.float32),
+            "module.blocks.1.mlp.fwd.0.weight": rng.standard_normal(
+                (2 * e, e, 1, 1)
+            ).astype(np.float32),
+            "module.blocks.1.mlp.fwd.0.bias": np.zeros(2 * e, np.float32),
+            "module.blocks.1.mlp.fwd.2.weight": rng.standard_normal(
+                (e, 2 * e, 1, 1)
+            ).astype(np.float32),
+            "module.trans_down.weights": np.zeros((3, 3), np.float32),  # buffer
+        }
+        out = convert_sfno_state_dict(sd, num_layers=cfg.num_layers)
+        assert out["unconverted"] == []
+        cp = out["params"]
+        assert cp["pos_embed"].shape == (h, wdt, e)
+        assert cp["encoder"]["fc1"]["kernel"].shape == (cfg.in_chans, e)
+        assert cp["blocks_0"]["filter"]["w0"].shape == (e, 2 * e, 2)
+        assert cp["blocks_1"]["mlp"]["fc1"]["kernel"].shape == (e, 2 * e)
+        # kernel transpose correctness: torch (out,in,1,1) -> flax (in,out)
+        np.testing.assert_array_equal(
+            cp["encoder"]["fc1"]["kernel"],
+            sd["module.encoder.fwd.0.weight"][:, :, 0, 0].T,
+        )
+
+    def test_spectral_conv_transpose(self):
+        sd = {"blocks.0.filter_layer.filter.w": np.arange(2 * 3 * 4 * 2).reshape(
+            2, 3, 4, 2
+        ).astype(np.float32)}
+        out = convert_sfno_state_dict(sd)
+        w = out["params"]["blocks_0"]["filter"]["w"]
+        assert w.shape == (4, 3, 2, 2)
+        np.testing.assert_array_equal(
+            w[1, 2, 0], sd["blocks.0.filter_layer.filter.w"][0, 2, 1]
+        )
+
+
+class TestSST:
+    def test_coarsen_nan_aware(self):
+        x = np.ones((8, 8), np.float32)
+        x[0, 0] = np.nan
+        y = coarsen(x, 4)
+        assert y.shape == (2, 2)
+        np.testing.assert_allclose(y, 1.0)  # nanmean ignores single NaN
+
+    def test_nino34_box(self):
+        lat = np.linspace(90, -90, 181)
+        lon = np.linspace(0, 359, 360)
+        m = nino34_mask(lat, lon)
+        assert m.sum() == 11 * 51  # 5S..5N x 170W..120W at 1 degree
+
+    def test_oni_recovers_anomaly(self):
+        lat = np.linspace(90, -90, 181)
+        lon = np.linspace(0, 359, 360)
+        n = 40
+        # each day-of-year occurs twice so the climatology is the mean of the
+        # two years and the warm second year shows a positive anomaly
+        doy = np.tile(np.arange(1, n // 2 + 1), 2)
+        sst = np.zeros((n, 181, 360), np.float32)
+        sst[n // 2 :] += 2.0  # warm anomaly in the second year
+        oni = compute_oni(sst, doy, lat, lon, smooth_days=1)
+        assert oni.shape == (n,)
+        assert oni[-1] > oni[0]

@@ -38,6 +38,7 @@ def small_cfg(film=False):
             num_film_features=8,
             sst_shape=(8, 16),
             temporal_step=2,
+            patch_size=(2, 4, 4),
         )
         if film
         else None
