@@ -60,6 +60,7 @@ def make_filter(
     spectral_layers: int,
     compression,
     rank: int,
+    use_pallas: bool = False,
     name: str = "filter",
 ):
     """SpectralFilterLayer mux (reference sfnonet.py:60-133)."""
@@ -71,6 +72,7 @@ def make_filter(
             hidden_size_factor=mlp_ratio,
             complex_activation=complex_activation,
             spectral_layers=spectral_layers,
+            use_pallas=use_pallas,
             name=name,
         )
     if filter_type == "non-linear" and spectral_transform == "fft":
@@ -125,6 +127,7 @@ class FourierNeuralOperatorBlock(nn.Module):
     spectral_layers: int = 1
     compression: str | None = None
     rank: int = 128
+    use_pallas: bool = False
     filmed: bool = False
     checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -152,6 +155,7 @@ class FourierNeuralOperatorBlock(nn.Module):
             self.spectral_layers,
             self.compression,
             self.rank,
+            self.use_pallas,
         )(x)
 
         if self.inner_skip == "linear":

@@ -160,6 +160,7 @@ class SpectralAttentionS2(nn.Module):
     complex_activation: str = "real"
     spectral_layers: int = 1
     scale: float = 0.02
+    use_pallas: bool = False  # fused VMEM-resident kernel (ops/pallas)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -169,18 +170,27 @@ class SpectralAttentionS2(nn.Module):
         x = annotate_spectral(x)
 
         dims = [self.embed_dim] + [hidden] * self.spectral_layers
-        for layer in range(self.spectral_layers):
-            w = self.param(
+        ws = [
+            self.param(
                 f"w{layer}",
                 scaled_normal_init(self.scale),
                 (dims[layer], dims[layer + 1], 2),
             )
-            x = compl_mul(x, to_complex(w))
-            x = complex_relu(x, mode=self.complex_activation)
+            for layer in range(self.spectral_layers)
+        ]
         wout = self.param(
             "wout", scaled_normal_init(self.scale), (hidden, self.embed_dim, 2)
         )
-        x = compl_mul(x, to_complex(wout))
+
+        if self.use_pallas and self.complex_activation == "real":
+            from msfno_tpu.ops.pallas.spectral_mlp import spectral_mlp
+
+            x = spectral_mlp(x, ws + [wout])
+        else:
+            for layer in range(self.spectral_layers):
+                x = compl_mul(x, to_complex(ws[layer]))
+                x = complex_relu(x, mode=self.complex_activation)
+            x = compl_mul(x, to_complex(wout))
         x = annotate_spectral(x)
 
         x = self.inverse_transform(x)

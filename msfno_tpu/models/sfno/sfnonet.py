@@ -91,6 +91,7 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
         spectral_layers=cfg.spectral_layers,
         compression=cfg.compression,
         rank=cfg.rank,
+        use_pallas=cfg.use_pallas,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

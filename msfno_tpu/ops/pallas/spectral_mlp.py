@@ -1,0 +1,173 @@
+"""Fused complex spectral MLP — Pallas TPU kernel.
+
+The SFNO's non-linear filter applies, per retained (l, m) mode, a complex MLP
+whose weights are shared across modes (reference SpectralAttentionS2.
+forward_mlp, MSFNO/Models/sfno/layers.py:615-631): L layers of complex
+matmul + ComplexReLU("real"), then a projection back to embed_dim.
+
+XLA's default lowering round-trips the (N_modes, hidden) activations to HBM
+between layers.  This kernel tiles the flattened mode axis, keeps ALL layer
+weights resident in VMEM (~6 MB at full size: 256->512->512->512->256 complex
+pairs), and runs the whole layer stack per tile on the MXU with fp32
+accumulation — one HBM read of x and one write of y total.
+
+Complex arithmetic is explicit re/im (TPU has no native complex MXU path):
+  h' = (hr@wr - hi@wi) + i (hr@wi + hi@wr)
+ComplexReLU("real") (activations.py:42-46): LeakyReLU on re, im untouched.
+
+Backward: custom_vjp differentiates an equivalent jnp reference
+implementation (mode-pointwise matmuls XLA already handles well), so training
+gets the fused forward and a standard backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+
+
+def _mlp_reference(xr, xi, ws, negative_slope: float):
+    """jnp reference: xr/xi (N, C); ws = [(wr, wi), ...]; last layer has no
+    activation (wout)."""
+    hr, hi = xr, xi
+    n_layers = len(ws)
+    for idx, (wr, wi) in enumerate(ws):
+        nr = hr @ wr - hi @ wi
+        ni = hr @ wi + hi @ wr
+        if idx < n_layers - 1:
+            nr = jax.nn.leaky_relu(nr, negative_slope)
+        hr, hi = nr, ni
+    return hr, hi
+
+
+def _make_kernel(n_layers: int, negative_slope: float):
+    def kernel(xr_ref, xi_ref, *refs):
+        # refs: wr0, wi0, wr1, wi1, ..., out_r, out_i
+        w_refs = refs[: 2 * n_layers]
+        out_r, out_i = refs[2 * n_layers], refs[2 * n_layers + 1]
+        hr = xr_ref[:]
+        hi = xi_ref[:]
+        for idx in range(n_layers):
+            wr = w_refs[2 * idx][:]
+            wi = w_refs[2 * idx + 1][:]
+            nr = jnp.dot(hr, wr, preferred_element_type=jnp.float32) - jnp.dot(
+                hi, wi, preferred_element_type=jnp.float32
+            )
+            ni = jnp.dot(hr, wi, preferred_element_type=jnp.float32) + jnp.dot(
+                hi, wr, preferred_element_type=jnp.float32
+            )
+            if idx < n_layers - 1:
+                nr = jnp.where(nr >= 0, nr, negative_slope * nr)
+            hr, hi = nr, ni
+        out_r[:] = hr
+        out_i[:] = hi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("negative_slope", "interpret"))
+def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
+                interpret: bool = False):
+    n_layers = len(flat_ws) // 2
+    n, c_in = xr.shape
+    c_out = flat_ws[-2].shape[1]
+    n_pad = -n % TILE_N
+    if n_pad:
+        xr = jnp.pad(xr, ((0, n_pad), (0, 0)))
+        xi = jnp.pad(xi, ((0, n_pad), (0, 0)))
+    n_tot = n + n_pad
+
+    kernel = _make_kernel(n_layers, negative_slope)
+    x_spec = pl.BlockSpec((TILE_N, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat_ws
+    ]
+    out_spec = pl.BlockSpec((TILE_N, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    flops = 0
+    d_in = c_in
+    for k in range(n_layers):
+        d_out = flat_ws[2 * k].shape[1]
+        flops += n_tot * d_in * d_out * 8  # 4 real matmuls x 2 flops/MAC
+        d_in = d_out
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tot // TILE_N,),
+        in_specs=[x_spec, x_spec] + w_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tot, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_tot, c_out), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * n_tot * (c_in + c_out)) + sum(
+                4 * w.size for w in flat_ws
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr, xi, *flat_ws)
+    if n_pad:
+        out_r, out_i = out_r[:n], out_i[:n]
+    return out_r, out_i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spectral_mlp_flat(x2, ws, negative_slope: float, interpret: bool):
+    """x2: (N, C, 2) fp32; ws: tuple of (in, out, 2) fp32 weight pairs."""
+    flat = []
+    for w in ws:
+        flat += [w[..., 0], w[..., 1]]
+    out_r, out_i = _fused_call(
+        x2[..., 0], x2[..., 1], *flat,
+        negative_slope=negative_slope, interpret=interpret,
+    )
+    return jnp.stack([out_r, out_i], axis=-1)
+
+
+def _ref_flat(x2, ws, negative_slope):
+    pairs = [(w[..., 0], w[..., 1]) for w in ws]
+    r, i = _mlp_reference(x2[..., 0], x2[..., 1], pairs, negative_slope)
+    return jnp.stack([r, i], axis=-1)
+
+
+def _fwd(x2, ws, negative_slope, interpret):
+    return _spectral_mlp_flat(x2, ws, negative_slope, interpret), (x2, ws)
+
+
+def _bwd(negative_slope, interpret, res, g):
+    x2, ws = res
+    _, vjp = jax.vjp(lambda x, w: _ref_flat(x, w, negative_slope), x2, ws)
+    return vjp(g)
+
+
+_spectral_mlp_flat.defvjp(_fwd, _bwd)
+
+
+def spectral_mlp(coeffs: jax.Array, weights, negative_slope: float = 0.0,
+                 interpret: bool = False) -> jax.Array:
+    """Fused spectral MLP over complex coefficients.
+
+    coeffs: (..., L, M, C) complex64.
+    weights: sequence of (in, out, 2) fp32 real-pair arrays; all but the last
+    are followed by ComplexReLU("real").
+    Returns (..., L, M, C_out) complex64.
+    """
+    shape = coeffs.shape
+    c_in = shape[-1]
+    x2 = jnp.stack(
+        [jnp.real(coeffs), jnp.imag(coeffs)], axis=-1
+    ).reshape(-1, c_in, 2).astype(jnp.float32)
+    out = _spectral_mlp_flat(x2, tuple(weights), negative_slope, interpret)
+    c_out = weights[-1].shape[1]
+    out = out.reshape(*shape[:-1], c_out, 2)
+    return jax.lax.complex(out[..., 0], out[..., 1])

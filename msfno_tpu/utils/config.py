@@ -110,6 +110,7 @@ class SFNOConfig:
     # compute dtype for grid-space MLPs; SHT + spectral MLP stay fp32
     # (mirrors reference AMP islands, layers.py:627-639)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    use_pallas: bool = False  # fused Pallas TPU kernels for the spectral MLP
     film: FilmConfig | None = None
 
     @property
