@@ -61,6 +61,7 @@ def make_filter(
     compression,
     rank: int,
     use_pallas: bool = False,
+    mxu_dtype: str = "float32",
     name: str = "filter",
 ):
     """SpectralFilterLayer mux (reference sfnonet.py:60-133)."""
@@ -73,6 +74,7 @@ def make_filter(
             complex_activation=complex_activation,
             spectral_layers=spectral_layers,
             use_pallas=use_pallas,
+            mxu_dtype=mxu_dtype,
             name=name,
         )
     if filter_type == "non-linear" and spectral_transform == "fft":
@@ -128,6 +130,7 @@ class FourierNeuralOperatorBlock(nn.Module):
     compression: str | None = None
     rank: int = 128
     use_pallas: bool = False
+    mxu_dtype: str = "float32"
     filmed: bool = False
     checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -156,6 +159,7 @@ class FourierNeuralOperatorBlock(nn.Module):
             self.compression,
             self.rank,
             self.use_pallas,
+            self.mxu_dtype,
         )(x)
 
         if self.inner_skip == "linear":

@@ -161,6 +161,7 @@ class SpectralAttentionS2(nn.Module):
     spectral_layers: int = 1
     scale: float = 0.02
     use_pallas: bool = False  # fused VMEM-resident kernel (ops/pallas)
+    mxu_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -185,7 +186,7 @@ class SpectralAttentionS2(nn.Module):
         if self.use_pallas and self.complex_activation == "real":
             from msfno_tpu.ops.pallas.spectral_mlp import spectral_mlp
 
-            x = spectral_mlp(x, ws + [wout])
+            x = spectral_mlp(x, ws + [wout], mxu_dtype=self.mxu_dtype)
         else:
             for layer in range(self.spectral_layers):
                 x = compl_mul(x, to_complex(ws[layer]))

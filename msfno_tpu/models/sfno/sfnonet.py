@@ -92,6 +92,7 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
         compression=cfg.compression,
         rank=cfg.rank,
         use_pallas=cfg.use_pallas,
+        mxu_dtype=cfg.spectral_mxu_dtype,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

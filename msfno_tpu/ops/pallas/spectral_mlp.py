@@ -46,7 +46,11 @@ def _mlp_reference(xr, xi, ws, negative_slope: float):
     return hr, hi
 
 
-def _make_kernel(n_layers: int, negative_slope: float):
+def _make_kernel(n_layers: int, negative_slope: float, mxu_dtype):
+    """mxu_dtype=bfloat16 feeds the MXU at its native rate (~4x the fp32
+    throughput on v5e) while keeping fp32 accumulation and fp32 activations;
+    fp32 reproduces the reference's full-precision spectral path."""
+
     def kernel(xr_ref, xi_ref, *refs):
         # refs: wr0, wi0, wr1, wi1, ..., out_r, out_i
         w_refs = refs[: 2 * n_layers]
@@ -54,13 +58,15 @@ def _make_kernel(n_layers: int, negative_slope: float):
         hr = xr_ref[:]
         hi = xi_ref[:]
         for idx in range(n_layers):
-            wr = w_refs[2 * idx][:]
-            wi = w_refs[2 * idx + 1][:]
-            nr = jnp.dot(hr, wr, preferred_element_type=jnp.float32) - jnp.dot(
-                hi, wi, preferred_element_type=jnp.float32
+            wr = w_refs[2 * idx][:].astype(mxu_dtype)
+            wi = w_refs[2 * idx + 1][:].astype(mxu_dtype)
+            ar = hr.astype(mxu_dtype)
+            ai = hi.astype(mxu_dtype)
+            nr = jnp.dot(ar, wr, preferred_element_type=jnp.float32) - jnp.dot(
+                ai, wi, preferred_element_type=jnp.float32
             )
-            ni = jnp.dot(hr, wi, preferred_element_type=jnp.float32) + jnp.dot(
-                hi, wr, preferred_element_type=jnp.float32
+            ni = jnp.dot(ar, wi, preferred_element_type=jnp.float32) + jnp.dot(
+                ai, wr, preferred_element_type=jnp.float32
             )
             if idx < n_layers - 1:
                 nr = jnp.where(nr >= 0, nr, negative_slope * nr)
@@ -71,9 +77,11 @@ def _make_kernel(n_layers: int, negative_slope: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("negative_slope", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("negative_slope", "interpret", "mxu_dtype")
+)
 def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
-                interpret: bool = False):
+                interpret: bool = False, mxu_dtype: str = "float32"):
     n_layers = len(flat_ws) // 2
     n, c_in = xr.shape
     c_out = flat_ws[-2].shape[1]
@@ -83,7 +91,7 @@ def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
         xi = jnp.pad(xi, ((0, n_pad), (0, 0)))
     n_tot = n + n_pad
 
-    kernel = _make_kernel(n_layers, negative_slope)
+    kernel = _make_kernel(n_layers, negative_slope, jnp.dtype(mxu_dtype))
     x_spec = pl.BlockSpec((TILE_N, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -121,8 +129,9 @@ def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
     return out_r, out_i
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _spectral_mlp_flat(x2, ws, negative_slope: float, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _spectral_mlp_flat(x2, ws, negative_slope: float, interpret: bool,
+                       mxu_dtype: str):
     """x2: (N, C, 2) fp32; ws: tuple of (in, out, 2) fp32 weight pairs."""
     flat = []
     for w in ws:
@@ -130,6 +139,7 @@ def _spectral_mlp_flat(x2, ws, negative_slope: float, interpret: bool):
     out_r, out_i = _fused_call(
         x2[..., 0], x2[..., 1], *flat,
         negative_slope=negative_slope, interpret=interpret,
+        mxu_dtype=mxu_dtype,
     )
     return jnp.stack([out_r, out_i], axis=-1)
 
@@ -140,11 +150,14 @@ def _ref_flat(x2, ws, negative_slope):
     return jnp.stack([r, i], axis=-1)
 
 
-def _fwd(x2, ws, negative_slope, interpret):
-    return _spectral_mlp_flat(x2, ws, negative_slope, interpret), (x2, ws)
+def _fwd(x2, ws, negative_slope, interpret, mxu_dtype):
+    return (
+        _spectral_mlp_flat(x2, ws, negative_slope, interpret, mxu_dtype),
+        (x2, ws),
+    )
 
 
-def _bwd(negative_slope, interpret, res, g):
+def _bwd(negative_slope, interpret, mxu_dtype, res, g):
     x2, ws = res
     _, vjp = jax.vjp(lambda x, w: _ref_flat(x, w, negative_slope), x2, ws)
     return vjp(g)
@@ -154,7 +167,8 @@ _spectral_mlp_flat.defvjp(_fwd, _bwd)
 
 
 def spectral_mlp(coeffs: jax.Array, weights, negative_slope: float = 0.0,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False,
+                 mxu_dtype: str = "float32") -> jax.Array:
     """Fused spectral MLP over complex coefficients.
 
     coeffs: (..., L, M, C) complex64.
@@ -167,7 +181,9 @@ def spectral_mlp(coeffs: jax.Array, weights, negative_slope: float = 0.0,
     x2 = jnp.stack(
         [jnp.real(coeffs), jnp.imag(coeffs)], axis=-1
     ).reshape(-1, c_in, 2).astype(jnp.float32)
-    out = _spectral_mlp_flat(x2, tuple(weights), negative_slope, interpret)
+    out = _spectral_mlp_flat(
+        x2, tuple(weights), negative_slope, interpret, mxu_dtype
+    )
     c_out = weights[-1].shape[1]
     out = out.reshape(*shape[:-1], c_out, 2)
     return jax.lax.complex(out[..., 0], out[..., 1])

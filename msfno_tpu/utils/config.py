@@ -111,6 +111,10 @@ class SFNOConfig:
     # (mirrors reference AMP islands, layers.py:627-639)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = False  # fused Pallas TPU kernels for the spectral MLP
+    # MXU input dtype inside the fused spectral kernel: "bfloat16" runs the
+    # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
+    # accumulation; "float32" reproduces the reference's fp32 spectral path
+    spectral_mxu_dtype: str = "float32"
     film: FilmConfig | None = None
 
     @property

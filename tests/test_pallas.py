@@ -83,7 +83,7 @@ class TestSpectralMlpKernel:
 
         orig = sm.spectral_mlp
 
-        def interp(coeffs, ws, negative_slope=0.0, interpret=False):
+        def interp(coeffs, ws, negative_slope=0.0, interpret=False, **kw):
             return orig(coeffs, ws, negative_slope, interpret=True)
 
         sm.spectral_mlp = interp
