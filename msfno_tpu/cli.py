@@ -1,0 +1,335 @@
+"""Command-line interface (reference main.py:384-1137).
+
+Same argument groups (Data, Inference, Training, Evaluate, Logging,
+Architecture, Architecture Film Gen) and action flags; config objects are
+assembled from the groups and, on --resume-checkpoint, merged with the
+checkpoint's stored hyperparameters — explicitly passed CLI flags win,
+architecture groups are protected (reference merge policy, main.py:179-246).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+log = logging.getLogger("msfno_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("msfno_tpu", description=__doc__)
+    p.add_argument("--model", default="sfno", choices=["sfno", "fcn", "mae"])
+    p.add_argument("--model-version", default="latest",
+                   help="sfno: latest|film; fcn: 0|1; mae: latest|lin-probe")
+    p.add_argument("--assets", default=None, help="asset directory (stats, weights)")
+    p.add_argument("--output-path", default="./output")
+    p.add_argument("--resume-checkpoint", default=None)
+    p.add_argument("--film-weights", default=None,
+                   help="film-generator checkpoint merged onto the backbone")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug", action="store_true")
+
+    # actions (dispatch per reference main.py:261-339)
+    act = p.add_argument_group("Actions")
+    act.add_argument("--train", action="store_true")
+    act.add_argument("--run", action="store_true")
+    act.add_argument("--eval-model", action="store_true")
+    act.add_argument("--save-forecast", action="store_true")
+    act.add_argument("--test-performance", action="store_true")
+    act.add_argument("--test-dataloader-speed", action="store_true")
+    act.add_argument("--test-batch-size", action="store_true")
+    act.add_argument("--dump-provenance", action="store_true")
+
+    data = p.add_argument_group("Data and Data Sources")
+    data.add_argument("--era5-path", default=None, help="ERA5 zarr/npy store")
+    data.add_argument("--sst-path", default=None)
+    data.add_argument("--synthetic-data", action="store_true",
+                      help="use the synthetic generator (no data on disk)")
+    data.add_argument("--trainingset-start-year", type=int, default=1979)
+    data.add_argument("--trainingset-end-year", type=int, default=2016)
+    data.add_argument("--validationset-start-year", type=int, default=2016)
+    data.add_argument("--validationset-end-year", type=int, default=2018)
+    data.add_argument("--training-workers", type=int, default=4)
+    data.add_argument("--batch-size", type=int, default=1)
+
+    run = p.add_argument_group("Inference Parameters")
+    run.add_argument("--lead-time", type=int, default=24, help="hours")
+    run.add_argument("--date", default=None, help="YYYYMMDD initial condition")
+    run.add_argument("--time", type=int, default=0)
+    run.add_argument("--output", default="npz", choices=["npz", "none"])
+
+    tr = p.add_argument_group("Training Parameters")
+    tr.add_argument("--learning-rate", type=float, default=5e-4)
+    tr.add_argument("--optimizer", default="adam", choices=["adam", "adamw", "sgd"])
+    tr.add_argument("--weight-decay", type=float, default=0.0)
+    tr.add_argument("--scheduler", default="none",
+                    choices=["none", "cosine", "step"])
+    tr.add_argument("--scheduler-horizon", type=int, default=2000)
+    tr.add_argument("--loss-fn", default="L2Sphere_noSine")
+    tr.add_argument("--training-epochs", type=int, default=1)
+    tr.add_argument("--multi-step-training", type=int, default=0)
+    tr.add_argument("--training-step-skip", type=int, default=0)
+    tr.add_argument("--discount-factor", type=float, default=1.0)
+    tr.add_argument("--accumulation-steps", type=int, default=0)
+    tr.add_argument("--validation-interval", type=int, default=100)
+    tr.add_argument("--multi-step-validation", type=int, default=0)
+    tr.add_argument("--validation-step-skip", type=int, default=0)
+    tr.add_argument("--save-checkpoint-interval", type=int, default=1)
+    tr.add_argument("--retrain-film", action="store_true")
+    tr.add_argument("--film-scale-start", type=float, default=0.0)
+    tr.add_argument("--time-limit", default=None,
+                    help="HH:MM:SS graceful-stop wall limit (main.py:149-156)")
+    tr.add_argument("--num-iterations", type=int, default=10,
+                    help="synthetic batches per epoch")
+
+    ev = p.add_argument_group("Evaluate Models")
+    ev.add_argument("--checkpoint-list", nargs="*", default=None)
+    ev.add_argument("--eval-sfno", action="store_true",
+                    help="include the scale=0 pure-SFNO baseline")
+
+    lg = p.add_argument_group("Logging")
+    lg.add_argument("--log-file", default=None)
+    lg.add_argument("--advanced-logging", action="store_true")
+    lg.add_argument("--wandb", action="store_true")
+
+    arch = p.add_argument_group("Architecture")
+    arch.add_argument("--spectral-transform", default="sht", choices=["sht", "fft"])
+    arch.add_argument("--filter-type", default="non-linear",
+                      choices=["non-linear", "linear"])
+    arch.add_argument("--img-size", type=int, nargs=2, default=[721, 1440])
+    arch.add_argument("--scale-factor", type=int, default=6)
+    arch.add_argument("--in-chans", type=int, default=73)
+    arch.add_argument("--out-chans", type=int, default=73)
+    arch.add_argument("--embed-dim", type=int, default=256)
+    arch.add_argument("--num-layers", type=int, default=12)
+    arch.add_argument("--spectral-layers", type=int, default=3)
+    arch.add_argument("--mlp-ratio", type=float, default=2.0)
+    arch.add_argument("--normalization-layer", default="instance_norm")
+    arch.add_argument("--hard-thresholding-fraction", type=float, default=1.0)
+    arch.add_argument("--compression", default=None, choices=[None, "tt"])
+    arch.add_argument("--rank", type=int, default=128)
+    arch.add_argument("--checkpointing-block", action="store_true")
+    arch.add_argument("--checkpointing-encoder", action="store_true")
+    arch.add_argument("--checkpointing-decoder", action="store_true")
+    arch.add_argument("--compute-dtype", default="float32",
+                      choices=["float32", "bfloat16"])
+    arch.add_argument("--use-pallas", action="store_true")
+    arch.add_argument("--spectral-mxu-dtype", default="float32",
+                      choices=["float32", "bfloat16"])
+
+    film = p.add_argument_group("Architecture Film Gen")
+    film.add_argument("--film-gen", dest="film_gen_type", default="gcn_custom",
+                      choices=["gcn", "gcn_custom", "transformer", "mae", "none"])
+    film.add_argument("--film-layers", type=int, default=1)
+    film.add_argument("--repeat-film", action="store_true")
+    film.add_argument("--model-depth", type=int, default=6)
+    film.add_argument("--film-embed-dim", type=int, default=512)
+    film.add_argument("--mlp-dim", type=int, default=512)
+    film.add_argument("--temporal-step", type=int, default=28)
+    film.add_argument("--coarse-level", type=int, default=4)
+    film.add_argument("--nan-mask-threshold", type=float, default=0.5)
+    return p
+
+
+def parse_time_limit(value: str | None) -> float | None:
+    """"HH:MM:SS" | "MM:SS" | seconds -> seconds (main.py:149-156)."""
+    if value is None:
+        return None
+    parts = [float(x) for x in str(value).split(":")]
+    secs = 0.0
+    for part in parts:
+        secs = secs * 60 + part
+    return secs
+
+
+def configs_from_args(args):
+    from msfno_tpu.utils.config import FilmConfig, SFNOConfig, TrainConfig
+
+    film = None
+    if args.model_version == "film" or args.model == "mae":
+        film = FilmConfig(
+            film_gen_type=args.film_gen_type,
+            film_layers=args.film_layers,
+            repeat_film=args.repeat_film,
+            model_depth=args.model_depth,
+            embed_dim=args.film_embed_dim,
+            mlp_dim=args.mlp_dim,
+            temporal_step=args.temporal_step,
+            coarse_level=args.coarse_level,
+            sst_shape=(
+                (args.img_size[0] - 1) // args.coarse_level,
+                args.img_size[1] // args.coarse_level,
+            ),
+            nan_mask_threshold=args.nan_mask_threshold,
+            num_film_features=args.embed_dim,
+        )
+    model_cfg = SFNOConfig(
+        img_size=tuple(args.img_size),
+        scale_factor=args.scale_factor,
+        in_chans=args.in_chans,
+        out_chans=args.out_chans,
+        embed_dim=args.embed_dim,
+        num_layers=args.num_layers,
+        spectral_transform=args.spectral_transform,
+        filter_type=args.filter_type,
+        mlp_ratio=args.mlp_ratio,
+        normalization_layer=args.normalization_layer,
+        hard_thresholding_fraction=args.hard_thresholding_fraction,
+        compression=args.compression,
+        rank=args.rank,
+        spectral_layers=args.spectral_layers,
+        checkpointing_block=args.checkpointing_block,
+        checkpointing_encoder=args.checkpointing_encoder,
+        checkpointing_decoder=args.checkpointing_decoder,
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+        spectral_mxu_dtype=args.spectral_mxu_dtype,
+        film=film,
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        weight_decay=args.weight_decay,
+        scheduler=args.scheduler,
+        scheduler_horizon=args.scheduler_horizon,
+        loss_fn=args.loss_fn,
+        multi_step_training=args.multi_step_training,
+        training_step_skip=args.training_step_skip,
+        discount_factor=args.discount_factor,
+        accumulation_steps=args.accumulation_steps,
+        validation_interval=args.validation_interval,
+        validation_step_skip=args.validation_step_skip,
+        multi_step_validation=args.multi_step_validation,
+        save_checkpoint_interval=args.save_checkpoint_interval,
+        training_epochs=args.training_epochs,
+        film_scale_start=args.film_scale_start,
+        retrain_film=args.retrain_film,
+        seed=args.seed,
+        time_limit_s=parse_time_limit(args.time_limit),
+    )
+    return model_cfg, train_cfg
+
+
+def merge_resume_config(model_cfg, args):
+    """Checkpoint-hyperparameter merge on resume: stored architecture wins
+    unless the flag was explicitly passed (reference main.py:179-246)."""
+    from msfno_tpu.training.checkpoint import peek
+    from msfno_tpu.utils.config import from_json
+
+    meta = peek(args.resume_checkpoint)
+    stored = from_json(meta["config"])
+    passed = {a.lstrip("-").replace("-", "_") for a in sys.argv if a.startswith("--")}
+    protected = {"img_size", "scale_factor", "in_chans", "out_chans", "embed_dim",
+                 "num_layers", "spectral_layers", "spectral_transform",
+                 "filter_type", "normalization_layer"}
+    import dataclasses
+
+    overrides = {}
+    for f in dataclasses.fields(type(stored)):
+        if f.name in protected:
+            continue  # architecture always comes from the checkpoint
+        if f.name in passed:
+            overrides[f.name] = getattr(model_cfg, f.name)
+    return dataclasses.replace(stored, **overrides), meta
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        filename=args.log_file,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    t0 = time.time()
+
+    model_cfg, train_cfg = configs_from_args(args)
+    if args.resume_checkpoint:
+        model_cfg, _ = merge_resume_config(model_cfg, args)
+
+    from msfno_tpu.models import get_model
+
+    os.makedirs(args.output_path, exist_ok=True)
+
+    if args.dump_provenance:
+        from msfno_tpu.utils.observability import dump_provenance
+
+        path = dump_provenance(os.path.join(args.output_path, "provenance.json"))
+        log.info("provenance written to %s", path)
+
+    wrapper = get_model(args.model, args.model_version, cfg=model_cfg,
+                        assets=args.assets)
+
+    if args.train or args.test_performance or args.test_batch_size:
+        trainer = wrapper.trainer(train_cfg, checkpoint_dir=args.output_path)
+        if args.test_batch_size:
+            best = trainer.test_batch_size()
+            print(json.dumps({"max_batch_size": best}))
+            return 0
+        state = trainer.init_state()
+        if args.resume_checkpoint:
+            from msfno_tpu.training.checkpoint import load_checkpoint
+            from msfno_tpu.training.partition import (
+                film_trainable_predicate, split_params,
+            )
+
+            params, _, _ = load_checkpoint(args.resume_checkpoint)
+            if model_cfg.film is not None:
+                pred = film_trainable_predicate(
+                    train_cfg.retrain_film, model_cfg.num_layers
+                )
+                tr_p, fr_p = split_params(params, pred)
+                import dataclasses as dc
+
+                state = dc.replace(state, trainable=tr_p, frozen=fr_p)
+        if args.test_performance:
+            sec = trainer.test_model_speed(state)
+            print(json.dumps({"model_fwd_s": sec}))
+            return 0
+        trainer.train(state, num_batches=args.num_iterations)
+        log.info("training done in %.1fs", time.time() - t0)
+        return 0
+
+    if args.run:
+        import numpy as np
+
+        wrapper.load_model(args.resume_checkpoint)
+        h, w = model_cfg.img_size
+        if args.era5_path:
+            x0 = np.load(args.era5_path)
+        else:
+            log.warning("no --era5-path; running from random initial condition")
+            x0 = np.random.randn(1, h, w, model_cfg.in_chans).astype(np.float32)
+        outs = []
+        for field in wrapper.running(x0, lead_time_h=args.lead_time):
+            outs.append(field)
+        if args.output == "npz":
+            out_file = os.path.join(args.output_path, "forecast.npz")
+            np.savez(out_file, forecast=np.stack(outs))
+            log.info("forecast written to %s", out_file)
+        return 0
+
+    if args.eval_model:
+        log.info("eval-model requires forecasts+targets; see "
+                 "msfno_tpu.inference.evaluate.evaluate_rollout")
+        return 0
+
+    if args.test_dataloader_speed:
+        from msfno_tpu.data.synthetic import synthetic_loader
+
+        trainer = wrapper.trainer(train_cfg)
+        sec = trainer.test_dataloader_speed(
+            synthetic_loader(model_cfg, train_cfg.batch_size, 0, 10)
+        )
+        print(json.dumps({"dataloader_s_per_batch": sec}))
+        return 0
+
+    build_parser().print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
