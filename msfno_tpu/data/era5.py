@@ -1,0 +1,275 @@
+"""ERA5 dataset (reference ERA5_galvani, MSFNO/Models/data.py:21-231).
+
+The reference reads weatherbench2 ERA5 zarr (+ separate u100/v100 stores, a
+CDS relative-humidity zarr, and a 1-degree SST zarr) via xarray with CPU
+DataLoader workers.  This framework keeps the same semantics behind a
+pluggable backend:
+
+- ZarrBackend: same stores, gated on xarray/zarr availability (absent in
+  this image — importing it raises a clear error until the libs exist);
+- NpyBackend: a directory tree of per-timestep .npy files, suitable for the
+  zero-dependency case and for the native C++ reader
+  (msfno_tpu/data/native_loader.py);
+- channel assembly is a pure function shared by all backends, reproducing
+  the reference recipe exactly (data.py:161-196):
+    vstack(scf[:2], u100, v100, scf[2:], pl at reversed levels, r).
+
+Time index semantics: 6h steps since the dataset start, leap-year aware
+(data.py:138-151); per-sample output is S = multi_step + 2 consecutive
+states plus an SST history window per step (coarsened 4x, data.py:198-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+from calendar import isleap
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from msfno_tpu.data.sst import coarsen
+from msfno_tpu.data.synthetic import Batch
+
+STEPS_PER_DAY = 4  # 6-hourly
+
+
+def year_range_indices(dataset_start_year: int, start_year: int, end_year: int):
+    """(start_idx, end_idx) in 6h steps from the dataset start
+    (reference data.py:138-151)."""
+    start_idx = STEPS_PER_DAY * sum(
+        366 if isleap(y) else 365 for y in range(dataset_start_year, start_year)
+    )
+    end_idx = (
+        STEPS_PER_DAY
+        * sum(366 if isleap(y) else 365 for y in range(dataset_start_year, end_year))
+        - 1
+    )
+    return start_idx, end_idx
+
+
+def assemble_channels(
+    scf: np.ndarray,
+    u100: np.ndarray,
+    v100: np.ndarray,
+    pl: np.ndarray,
+    r: np.ndarray | None = None,
+) -> np.ndarray:
+    """73-channel assembly (reference data.py:161-196), channels-last output.
+
+    scf:  (6, H, W) surface fields in ERA5 order (10u, 10v, 2t, sp, msl, tcwv)
+    u100/v100: (H, W)
+    pl:   (4 or 5, 13, H, W) pressure-level fields (u, v, z, t[, r]) with
+          levels ordered 1000..50 (i.e. reference's reversed level_list)
+    r:    (13, H, W) relative humidity when not folded into pl
+    Returns (H, W, 73).
+    """
+    parts = [scf[:2], u100[None], v100[None], scf[2:]]
+    pl_flat = pl.reshape(pl.shape[0] * pl.shape[1], *pl.shape[2:])
+    parts.append(pl_flat)
+    if r is not None:
+        parts.append(r)
+    stacked = np.vstack(parts)
+    if stacked.shape[0] != 73:
+        raise ValueError(f"expected 73 channels, got {stacked.shape[0]}")
+    return np.ascontiguousarray(np.moveaxis(stacked, 0, -1), dtype=np.float32)
+
+
+class NpyBackend:
+    """Directory of per-timestep arrays: {root}/era5_{idx:06d}.npy holding
+    (H, W, 73) channels-last states and optionally {root}/sst_{idx:06d}.npy
+    (Hs, Ws) SST with NaN over land."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.n = len([f for f in os.listdir(root) if f.startswith("era5_")])
+        if self.n == 0:
+            raise FileNotFoundError(f"no era5_*.npy files under {root}")
+        self.has_sst = os.path.exists(os.path.join(root, "sst_000000.npy"))
+
+    def __len__(self):
+        return self.n
+
+    def era5(self, idx: int) -> np.ndarray:
+        return np.load(os.path.join(self.root, f"era5_{idx:06d}.npy"))
+
+    def sst(self, idx: int) -> np.ndarray | None:
+        if not self.has_sst:
+            return None
+        return np.load(os.path.join(self.root, f"sst_{idx:06d}.npy"))
+
+
+class ZarrBackend:  # pragma: no cover - requires xarray/zarr
+    """weatherbench2-layout zarr stores (reference data.py:86-104)."""
+
+    def __init__(self, path: str, u100_path: str | None = None,
+                 v100_path: str | None = None, sst_path: str | None = None,
+                 rh_path: str | None = None, coarse_level: int = 4):
+        try:
+            import xarray as xr
+        except ImportError as e:
+            raise ImportError(
+                "ZarrBackend needs xarray/zarr; use NpyBackend in this image"
+            ) from e
+        from msfno_tpu.models.variables import ERA5_PL_NAMES, ERA5_SFC_NAMES, PL_LEVELS
+
+        self._xr = xr
+        self.ds = xr.open_zarr(path, chunks=None)
+        self.ds_u100 = xr.open_zarr(u100_path, chunks=None) if u100_path else None
+        self.ds_v100 = xr.open_zarr(v100_path, chunks=None) if v100_path else None
+        self.ds_sst = xr.open_zarr(sst_path, chunks=None) if sst_path else None
+        self.ds_rh = xr.open_zarr(rh_path, chunks=None) if rh_path else None
+        self.coarse_level = coarse_level
+        self.sfc_names = [ERA5_SFC_NAMES[k] for k in
+                          ("10u", "10v", "2t", "sp", "msl", "tcwv")]
+        self.pl_names = [ERA5_PL_NAMES[k] for k in ("u", "v", "z", "t")]
+        self.rh_name = ERA5_PL_NAMES["r"]
+        self.levels = list(reversed(sorted(PL_LEVELS)))
+        self.n = self.ds.sizes["time"]
+
+    def __len__(self):
+        return self.n
+
+    def era5(self, idx: int) -> np.ndarray:
+        s = self.ds.isel(time=idx)
+        scf = s[self.sfc_names].to_array().to_numpy()
+        u100 = self.ds_u100.isel(time=idx)["u100"].to_numpy()
+        v100 = self.ds_v100.isel(time=idx)["v100"].to_numpy()
+        if self.ds_rh is not None:
+            pl = s[self.pl_names].sel(level=self.levels).to_array().to_numpy()
+            r = self.ds_rh.isel(time=idx).to_array().to_numpy()[0]
+        else:
+            pl = s[self.pl_names + [self.rh_name]].sel(
+                level=self.levels
+            ).to_array().to_numpy()
+            r = None
+        return assemble_channels(scf, u100, v100, pl, r)
+
+    def sst(self, idx: int) -> np.ndarray:
+        src = self.ds_sst if self.ds_sst is not None else self.ds
+        sst = src.isel(time=idx)["sea_surface_temperature"].to_numpy()
+        if self.ds_sst is None:
+            sst = coarsen(sst, self.coarse_level)
+        return sst
+
+
+@dataclasses.dataclass
+class ERA5Dataset:
+    """Multi-step sample assembly over a backend (reference __getitem__,
+    data.py:161-231): index i yields S = multi_step + 2 consecutive 6h states
+    and, per step, a temporal_step-long SST history window ending at it
+    (past_sst semantics, data.py:205-211)."""
+
+    backend: object
+    multi_step: int = 0
+    temporal_step: int = 28
+    with_sst: bool = True
+    start_idx: int = 0
+    end_idx: int | None = None
+
+    def __post_init__(self):
+        n = len(self.backend)
+        last_needed = self.multi_step + 2 + self.temporal_step
+        self.end_idx = min(self.end_idx or n, n) - last_needed
+        if self.end_idx <= self.start_idx:
+            raise ValueError("dataset too short for the requested windows")
+
+    def __len__(self):
+        return self.end_idx - self.start_idx
+
+    def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+        """Returns (era5 (S, H, W, C), sst (S, T, Hs, Ws) | None, times (S,))."""
+        base = self.start_idx + idx + self.temporal_step  # room for past SST
+        s = self.multi_step + 2
+        era5 = np.stack([self.backend.era5(base + i) for i in range(s)])
+        sst = None
+        if self.with_sst and getattr(self.backend, "has_sst", True):
+            windows = []
+            for i in range(s):
+                w = [
+                    self.backend.sst(base + i - self.temporal_step + 1 + t)
+                    for t in range(self.temporal_step)
+                ]
+                if w[0] is None:
+                    sst = None
+                    break
+                windows.append(np.stack(w))
+            else:
+                sst = np.stack(windows)
+        times = np.zeros(s, dtype=np.int64)
+        return era5, sst, times
+
+
+class PrefetchLoader:
+    """Threaded batch loader (replaces the reference's torch DataLoader CPU
+    worker processes, train.py:513-519).  Assembles Batch objects on
+    background threads and prefetches `prefetch` batches ahead."""
+
+    def __init__(self, dataset: ERA5Dataset, batch_size: int = 1,
+                 shuffle: bool = False, seed: int = 0, num_workers: int = 2,
+                 prefetch: int = 2, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        return n if self.drop_last else -(-len(self.dataset) // self.batch_size)
+
+    def _order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            # per-epoch deterministic reshuffle (sampler.set_epoch analogue,
+            # train.py:303-304)
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        order = self._order(epoch)
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def make_batch(b: int) -> Batch:
+            items = [self.dataset[int(order[b * self.batch_size + j])]
+                     for j in range(self.batch_size)]
+            era5 = np.stack([it[0] for it in items], axis=1)  # (S, B, H, W, C)
+            sst = None
+            if items[0][1] is not None:
+                sst = np.stack([it[1] for it in items], axis=1)
+            times = np.stack([it[2] for it in items], axis=1)
+            return Batch(era5=era5, sst=sst, times=times)
+
+        def worker(worker_id: int):
+            for b in range(worker_id, nb, self.num_workers):
+                if stop.is_set():
+                    return
+                q.put((b, make_batch(b)))
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            pending: dict[int, Batch] = {}
+            nxt = 0
+            received = 0
+            while nxt < nb:
+                while nxt not in pending and received < nb:
+                    b, batch = q.get()
+                    pending[b] = batch
+                    received += 1
+                yield pending.pop(nxt)
+                nxt += 1
+        finally:
+            stop.set()
+            while not q.empty():
+                q.get_nowait()

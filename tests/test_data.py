@@ -1,0 +1,128 @@
+"""Data pipeline tests: channel assembly, time indexing, npy backends
+(python + native C++), prefetch loader."""
+
+import numpy as np
+import pytest
+
+from msfno_tpu.data.era5 import (
+    ERA5Dataset,
+    NpyBackend,
+    PrefetchLoader,
+    assemble_channels,
+    year_range_indices,
+)
+from msfno_tpu.data.native_loader import (
+    NativeNpyBackend,
+    get_lib,
+    load_npy_batch,
+    npy_info,
+)
+
+
+class TestAssembly:
+    def test_channel_order(self):
+        h, w = 4, 8
+        scf = np.stack([np.full((h, w), i, np.float32) for i in range(6)])
+        u100 = np.full((h, w), 100.0, np.float32)
+        v100 = np.full((h, w), 101.0, np.float32)
+        pl = np.stack(
+            [np.full((13, h, w), 200 + i, np.float32) for i in range(4)]
+        )
+        r = np.full((13, h, w), 300.0, np.float32)
+        out = assemble_channels(scf, u100, v100, pl, r)
+        assert out.shape == (h, w, 73)
+        # ordering: 10u, 10v, 100u, 100v, 2t, sp, msl, tcwv, pl..., r
+        assert out[0, 0, 0] == 0 and out[0, 0, 1] == 1
+        assert out[0, 0, 2] == 100 and out[0, 0, 3] == 101
+        assert out[0, 0, 4] == 2 and out[0, 0, 7] == 5
+        assert out[0, 0, 8] == 200  # first pl var first level
+        assert out[0, 0, 72] == 300  # last r channel
+
+    def test_wrong_channels_raises(self):
+        with pytest.raises(ValueError):
+            assemble_channels(
+                np.zeros((5, 2, 2)), np.zeros((2, 2)), np.zeros((2, 2)),
+                np.zeros((4, 13, 2, 2)), np.zeros((13, 2, 2)),
+            )
+
+
+class TestTimeIndex:
+    def test_leap_aware(self):
+        # 1979 -> 1980: 365 days; 1980 is leap
+        s, e = year_range_indices(1979, 1980, 1981)
+        assert s == 365 * 4
+        assert e == (365 + 366) * 4 - 1
+
+
+@pytest.fixture
+def npy_store(tmp_path):
+    root = str(tmp_path / "store")
+    import os
+
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        np.save(f"{root}/era5_{i:06d}.npy",
+                rng.standard_normal((4, 8, 3)).astype(np.float32))
+        sst = rng.standard_normal((4, 8)).astype(np.float32)
+        sst[0, :2] = np.nan
+        np.save(f"{root}/sst_{i:06d}.npy", sst)
+    return root
+
+
+class TestNpyBackend:
+    def test_dataset_shapes(self, npy_store):
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=1, temporal_step=2)
+        era5, sst, times = ds[0]
+        assert era5.shape == (3, 4, 8, 3)
+        assert sst.shape == (3, 2, 4, 8)
+
+    def test_prefetch_loader(self, npy_store):
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        loader = PrefetchLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+        batches = list(loader.epoch(0))
+        assert len(batches) == len(loader)
+        b = batches[0]
+        assert b.era5.shape == (2, 2, 4, 8, 3)
+        assert b.sst.shape == (2, 2, 2, 4, 8)
+
+    def test_shuffle_deterministic(self, npy_store):
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        l1 = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=7, num_workers=1)
+        l2 = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=7, num_workers=1)
+        a = np.stack([b.era5 for b in l1.epoch(3)])
+        b = np.stack([b.era5 for b in l2.epoch(3)])
+        np.testing.assert_array_equal(a, b)
+
+
+class TestNativeLoader:
+    def test_lib_builds(self):
+        assert get_lib() is not None, "g++ should be available in this image"
+
+    def test_npy_info(self, npy_store):
+        shape, ws = npy_info(f"{npy_store}/era5_000000.npy")
+        assert shape == (4, 8, 3) and ws == 4
+
+    def test_batch_matches_numpy(self, npy_store):
+        paths = [f"{npy_store}/era5_{i:06d}.npy" for i in range(8)]
+        native = load_npy_batch(paths, (4, 8, 3), n_threads=4)
+        ref = np.stack([np.load(p) for p in paths])
+        np.testing.assert_array_equal(native, ref)
+
+    def test_nan_preserved(self, npy_store):
+        b = NativeNpyBackend(npy_store)
+        sst = b.sst(0)
+        assert np.isnan(sst[0, :2]).all()
+
+    def test_native_backend_in_dataset(self, npy_store):
+        ds = ERA5Dataset(NativeNpyBackend(npy_store), multi_step=0,
+                         temporal_step=2)
+        era5, sst, _ = ds[1]
+        ref_ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        ref_era5, ref_sst, _ = ref_ds[1]
+        np.testing.assert_array_equal(era5, ref_era5)
+        np.testing.assert_array_equal(sst, ref_sst)
+
+    def test_missing_file_error(self, npy_store):
+        with pytest.raises(IOError):
+            load_npy_batch([f"{npy_store}/era5_999999.npy"], (4, 8, 3))
