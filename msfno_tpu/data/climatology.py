@@ -1,0 +1,60 @@
+"""Offline climatology builder (reference data_process/climatology.py:55-106).
+
+Iterative mean over years at fixed (day-of-year, hour) slots, leap-day
+dropped, so memory stays O(one year) regardless of archive length.  Operates
+on any backend exposing era5(idx) -> (H, W, C) with 6-hourly indexing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from msfno_tpu.data.era5 import STEPS_PER_DAY
+from calendar import isleap
+
+
+def build_climatology(
+    backend,
+    dataset_start_year: int,
+    years: list[int],
+    out_path: str | None = None,
+) -> np.ndarray:
+    """Mean state per (day-of-year 1..365, hour slot 0..3) over `years`.
+
+    Returns (365, 4, H, W, C) float32.  Feb 29 is dropped (reference
+    climatology.py:74-79).
+    """
+    sample = backend.era5(0)
+    clim = np.zeros((365, STEPS_PER_DAY) + sample.shape, dtype=np.float64)
+    count = 0
+
+    for year in years:
+        # index of Jan 1 of `year`
+        base = STEPS_PER_DAY * sum(
+            366 if isleap(y) else 365 for y in range(dataset_start_year, year)
+        )
+        idx = base
+        for doy in range(366 if isleap(year) else 365):
+            target_doy = doy
+            if isleap(year):
+                if doy == 59:  # Feb 29: skip
+                    idx += STEPS_PER_DAY
+                    continue
+                if doy > 59:
+                    target_doy = doy - 1
+            for h in range(STEPS_PER_DAY):
+                clim[target_doy, h] += backend.era5(idx)
+                idx += 1
+        count += 1
+
+    clim = (clim / max(count, 1)).astype(np.float32)
+    if out_path:
+        np.save(out_path, clim)
+    return clim
+
+
+def climatology_at(clim: np.ndarray, day_of_year: int, hour: int) -> np.ndarray:
+    """Lookup with Feb-29 mapped to Feb-28 (reference eval indexing,
+    sfno/model.py:1331-1416)."""
+    doy = min(day_of_year - 1, 364)
+    return clim[doy, (hour // 6) % STEPS_PER_DAY]

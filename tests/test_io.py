@@ -1,0 +1,100 @@
+"""I/O registry and climatology tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from msfno_tpu.data.climatology import build_climatology, climatology_at
+from msfno_tpu.inference.io import (
+    FileOutput,
+    HindcastReLabel,
+    available_inputs,
+    available_outputs,
+    get_input,
+    get_output,
+)
+
+
+class TestInputs:
+    def test_registry(self):
+        assert set(available_inputs()) == {"mars", "cds", "file", "localsource", "none"}
+
+    def test_file_input(self, tmp_path):
+        arr = np.random.randn(4, 8, 3).astype(np.float32)
+        p = str(tmp_path / "ic.npy")
+        np.save(p, arr)
+        src = get_input("file", file=p)
+        out = src.all_fields()
+        assert out.shape == (1, 4, 8, 3)
+
+    def test_network_inputs_raise(self):
+        with pytest.raises(RuntimeError, match="climetlab"):
+            get_input("mars")
+
+    def test_local_input(self, tmp_path):
+        os.makedirs(tmp_path / "store")
+        np.save(tmp_path / "store" / "era5_000000.npy",
+                np.zeros((4, 8, 3), np.float32))
+        src = get_input("localsource", path=str(tmp_path / "store"), time_index=0)
+        assert src.all_fields().shape == (1, 4, 8, 3)
+
+
+class TestOutputs:
+    def test_registry(self):
+        assert set(available_outputs()) == {"file", "netcdf", "none"}
+
+    def test_file_output_with_variable_filter(self, tmp_path):
+        out = FileOutput(
+            path=str(tmp_path / "fc"),
+            variables=["b"],
+            ordering=["a", "b", "c"],
+        )
+        data = np.random.randn(1, 4, 8, 3).astype(np.float32)
+        out.write(data, step=6)
+        saved = np.load(tmp_path / "fc" / "step_0006.npy")
+        np.testing.assert_array_equal(saved[..., 0], data[..., 1])
+        manifest = json.loads((tmp_path / "fc" / "manifest.json").read_text())
+        assert manifest["steps"] == [6]
+        assert manifest["variables"] == ["b"]
+
+    def test_hindcast_relabel(self, tmp_path):
+        inner = FileOutput(path=str(tmp_path / "fc"))
+        h = HindcastReLabel(None, inner, reference_date=20200101, hdate=20190101)
+        h.write(np.zeros((1, 2, 2, 1)), step=6)
+        assert os.path.exists(tmp_path / "fc" / "step_0006.npy")
+
+    def test_none_output(self):
+        get_output("none").write(np.zeros(3))
+
+
+class _SyntheticBackend:
+    """Deterministic 2-year 6-hourly archive: value = year marker."""
+
+    def __init__(self, start_year=1979, years=2):
+        from calendar import isleap
+
+        self.days = [366 if isleap(start_year + i) else 365 for i in range(years)]
+        self.n = 4 * sum(self.days)
+        self.start_year = start_year
+
+    def era5(self, idx):
+        # year 0 -> 1.0, year 1 -> 3.0 (mean = 2.0)
+        d = idx // 4
+        year = 0 if d < self.days[0] else 1
+        return np.full((2, 2, 1), 1.0 + 2.0 * year, np.float32)
+
+
+class TestClimatology:
+    def test_two_year_mean(self):
+        b = _SyntheticBackend(1979, 2)
+        clim = build_climatology(b, 1979, [1979, 1980])
+        assert clim.shape == (365, 4, 2, 2, 1)
+        np.testing.assert_allclose(clim, 2.0)
+
+    def test_lookup_feb29(self):
+        clim = np.arange(365 * 4, dtype=np.float32).reshape(365, 4, 1, 1, 1)
+        # Feb 29 (doy 366 would overflow) maps within bounds
+        v = climatology_at(clim, 366, 18)
+        assert v.shape == (1, 1, 1)
