@@ -85,7 +85,7 @@ class ShardedRealSHT:
             mesh=self.mesh,
             in_specs=P(None, self.axis, None, None),
             out_specs=P(None, None, self.axis, None),
-            check_rep=False,
+            check_vma=False,
         )(x)
 
 
@@ -135,7 +135,7 @@ class ShardedInverseRealSHT:
             mesh=self.mesh,
             in_specs=P(None, None, self.axis, None),
             out_specs=P(None, self.axis, None, None),
-            check_rep=False,
+            check_vma=False,
         )(coeffs)
 
 
