@@ -30,7 +30,7 @@ def main() -> None:
     import __graft_entry__
 
     if on_tpu:
-        fn, (x, sst) = __graft_entry__.entry()
+        fn, example_args = __graft_entry__.entry()
         label = "msfno_6h_step_721x1440"
     else:
         # CPU fallback so the bench always produces a line
@@ -43,12 +43,13 @@ def main() -> None:
         x = jnp.asarray(b.era5[0])
         sst = jnp.asarray(b.sst[0])
         params = model.init(jax.random.PRNGKey(0), x, sst)
-        fn = lambda x, sst: model.apply(params, x, sst, 1.0)
+        fn = lambda params, x, sst: model.apply(params, x, sst, 1.0)
+        example_args = (params, x, sst)
         label = "msfno_6h_step_tiny_cpu"
 
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
-    lowered = jfn.lower(x, sst)
+    lowered = jfn.lower(*example_args)
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
     flops = None
@@ -61,11 +62,11 @@ def main() -> None:
         pass
 
     # warmup
-    compiled(x, sst).block_until_ready()
+    compiled(*example_args).block_until_ready()
     iters = 10 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = compiled(x, sst)
+        out = compiled(*example_args)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
