@@ -1,0 +1,133 @@
+"""Checkpoint-list skill evaluation (reference --eval-model path:
+main.py:303-337 selects an equidistant checkpoint subset;
+FourCastNetv2_filmed.evaluate_model, sfno/model.py:1292-1486, rolls each out
+against validation data, computes per-variable MSE in real & normalized
+space and skill vs climatology, then saves arrays + PDF plots).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from msfno_tpu.data.normalization import Normalizer
+from msfno_tpu.inference.evaluate import SkillReport, evaluate_rollout
+from msfno_tpu.inference.rollout import scan_rollout
+from msfno_tpu.training.checkpoint import load_checkpoint
+
+log = logging.getLogger("msfno_tpu")
+
+
+def select_checkpoints(pattern: str, max_count: int = 5) -> list[str]:
+    """Equidistant subset of matching checkpoints (reference main.py:305-322)."""
+    files = sorted(glob.glob(pattern))
+    if len(files) <= max_count:
+        return files
+    idx = np.linspace(0, len(files) - 1, max_count).round().astype(int)
+    return [files[i] for i in sorted(set(idx))]
+
+
+def evaluate_checkpoints(
+    module,
+    checkpoint_files: list[str],
+    batches,
+    climatology: np.ndarray,
+    steps: int,
+    normalizer: Normalizer | None = None,
+    sst_normalizer=None,
+    save_path: str | None = None,
+    film_scales: dict[str, float] | None = None,
+    include_sfno_baseline: bool = False,
+) -> dict[str, SkillReport]:
+    """Roll out each checkpoint over `batches` and score skill vs climatology.
+
+    batches: iterable of Batch with era5 (S >= steps+1, B, H, W, C).
+    With include_sfno_baseline, the first checkpoint is also evaluated at
+    film scale 0 — the pure-SFNO reference (--eval-sfno, model.py:1346-1354).
+    """
+    normalizer = normalizer or Normalizer.identity(
+        batches[0].era5.shape[-1]
+    )
+    reports: dict[str, SkillReport] = {}
+
+    runs = [(cp, None) for cp in checkpoint_files]
+    if include_sfno_baseline and checkpoint_files:
+        runs.insert(0, (checkpoint_files[0], 0.0))
+
+    for cp, scale_override in runs:
+        params, _, meta = load_checkpoint(cp)
+        scale = (
+            scale_override
+            if scale_override is not None
+            else (film_scales or {}).get(cp, meta.get("film_scale", 1.0))
+        )
+        fcs, fcs_n, tars, tars_n = [], [], [], []
+        for batch in batches:
+            x0 = batch.era5[0]
+            sst_seq = (
+                jnp.asarray(batch.sst[1 : steps + 1])
+                if batch.sst is not None
+                else None
+            )
+            outs_n = np.asarray(
+                scan_rollout(
+                    module,
+                    params,
+                    x0,
+                    steps,
+                    sst_seq=sst_seq,
+                    normalizer=normalizer,
+                    sst_normalizer=sst_normalizer,
+                    scale=scale,
+                )
+            )
+            tar_raw = batch.era5[1 : steps + 1]
+            tar_n = np.stack([np.asarray(normalizer(t)) for t in tar_raw])
+            fc_raw = np.stack(
+                [np.asarray(normalizer(o, reverse=True)) for o in outs_n]
+            )
+            fcs.append(fc_raw)
+            fcs_n.append(outs_n)
+            tars.append(tar_raw)
+            tars_n.append(tar_n)
+        cat = lambda xs: np.concatenate(xs, axis=1)
+        name = os.path.basename(cp) + ("" if scale_override is None else "@scale0")
+        reports[name] = evaluate_rollout(
+            cat(fcs), cat(tars), climatology, cat(fcs_n), cat(tars_n)
+        )
+        log.info("%s: mean skill %.4f", name, float(np.mean(reports[name].skill)))
+        if save_path:
+            os.makedirs(save_path, exist_ok=True)
+            reports[name].save(os.path.join(save_path, name))
+
+    if save_path:
+        plot_skill(reports, save_path)
+    return reports
+
+
+def plot_skill(reports: dict[str, SkillReport], save_path: str,
+               variable_names: list[str] | None = None):
+    """Per-variable skill/MSE PDF plots (reference model.py:1454-1482)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        log.warning("matplotlib unavailable; skipping plots")
+        return
+    for metric in ("skill", "mse_model"):
+        fig, ax = plt.subplots(figsize=(8, 4))
+        for name, rep in reports.items():
+            vals = getattr(rep, metric)
+            ax.plot(np.mean(vals, axis=-1), marker="o", label=name)
+        ax.set_xlabel("lead step")
+        ax.set_ylabel(metric)
+        ax.legend(fontsize=6)
+        fig.tight_layout()
+        fig.savefig(os.path.join(save_path, f"{metric}.pdf"))
+        plt.close(fig)

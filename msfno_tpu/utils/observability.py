@@ -118,3 +118,45 @@ def dump_provenance(path: str) -> str:
     with open(path, "w") as f:
         json.dump(gather_provenance_info(), f, indent=2)
     return path
+
+
+def system_monitor(printout: bool = True) -> dict:
+    """RAM/CPU/per-process stats via psutil (reference system_monitor,
+    provenance.py:15-53)."""
+    import psutil
+
+    vm = psutil.virtual_memory()
+    proc = psutil.Process()
+    stats = {
+        "ram_total_gb": round(vm.total / 2**30, 2),
+        "ram_used_gb": round(vm.used / 2**30, 2),
+        "ram_percent": vm.percent,
+        "cpu_percent": psutil.cpu_percent(interval=0.1),
+        "process_rss_gb": round(proc.memory_info().rss / 2**30, 2),
+        "process_cpu_percent": proc.cpu_percent(interval=0.1),
+    }
+    if printout:
+        log.info("system: %s", stats)
+    return stats
+
+
+def device_memory_stats() -> list[dict]:
+    """Per-device HBM stats (replaces torch.cuda.memory_allocated mem_log,
+    reference train.py:747-756)."""
+    import jax
+
+    out = []
+    for d in jax.devices():
+        try:
+            s = d.memory_stats() or {}
+            out.append(
+                {
+                    "device": str(d),
+                    "bytes_in_use": s.get("bytes_in_use"),
+                    "peak_bytes_in_use": s.get("peak_bytes_in_use"),
+                    "bytes_limit": s.get("bytes_limit"),
+                }
+            )
+        except Exception:
+            out.append({"device": str(d)})
+    return out
