@@ -366,3 +366,57 @@ class Trainer:
                 log.info("batch size %d failed: %s", b, type(e).__name__)
                 break
         return best
+
+
+def save_forecast(
+    trainer: Trainer,
+    state: TrainState,
+    batches,
+    steps: int,
+    out_path: str,
+    channels: list[str] | None = None,
+) -> str:
+    """Weatherbench2-format forecast dump (reference Trainer.save_forecast,
+    train.py:942-1022 + save_to_zarr_forecast 1024-1110): for each validation
+    init time, roll out `steps` prediction timedeltas and append one chunk
+    per init time to a ForecastWriter archive."""
+    import jax.numpy as jnp
+
+    from msfno_tpu.inference.forecast_writer import ForecastWriter
+    from msfno_tpu.inference.rollout import scan_rollout
+
+    h, w = trainer.cfg.img_size
+    writer = ForecastWriter(
+        out_path,
+        channels or [f"var{i}" for i in range(trainer.cfg.out_chans)],
+        lat=np.linspace(90, -90, h),
+        lon=np.linspace(0, 360, w, endpoint=False),
+    )
+    params = state.params
+    for batch in batches:
+        x0 = batch.era5[0]
+        sst_seq = (
+            jnp.asarray(batch.sst[1 : steps + 1]) if batch.sst is not None else None
+        )
+        outs = np.asarray(
+            scan_rollout(
+                trainer.model,
+                params,
+                x0,
+                steps,
+                sst_seq=sst_seq,
+                normalizer=trainer.normalizer,
+                sst_normalizer=trainer.sst_normalizer,
+                scale=float(state.film_scale),
+            )
+        )
+        # denormalize and append per init time: (steps, H, W, C)
+        for b in range(outs.shape[1]):
+            fc = np.stack(
+                [
+                    np.asarray(trainer.normalizer(outs[s, b], reverse=True))
+                    for s in range(steps)
+                ]
+            )
+            writer.append(int(batch.times[0, b]), fc)
+    return out_path
