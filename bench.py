@@ -24,6 +24,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat runs skip the slow first compile
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
 
@@ -61,13 +67,20 @@ def main() -> None:
     except Exception:
         pass
 
-    # warmup
-    compiled(*example_args).block_until_ready()
+    # warmup (fetch a scalar: on the axon platform block_until_ready does
+    # not reliably block, so force a device->host readback)
+    params, x, sst = example_args
+    out = compiled(params, x, sst)
+    float(jnp.sum(out[..., 0]))
+
+    # timed: chain the step autoregressively (out feeds the next input, the
+    # real rollout pattern) so iterations cannot overlap, then fetch once
     iters = 10 if on_tpu else 3
     t0 = time.perf_counter()
+    state = x
     for _ in range(iters):
-        out = compiled(*example_args)
-    out.block_until_ready()
+        state = compiled(params, state, sst)
+    float(jnp.sum(state[..., 0]))
     dt = (time.perf_counter() - t0) / iters
 
     steps_per_sec = 1.0 / dt
