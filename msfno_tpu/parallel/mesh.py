@@ -28,21 +28,22 @@ AXES = ("data", "lat", "channel")
 
 
 def factorize(n: int) -> tuple[int, int, int]:
-    """Split n devices into (data, lat, channel) sizes, preferring model axes
-    so the sharded-SHT path is exercised."""
-    if n == 1:
-        return (1, 1, 1)
-    best = (n, 1, 1)
-    # prefer lat >= channel >= 1, data picks up the rest
-    for lat in range(min(n, 8), 0, -1):
-        if n % lat:
-            continue
-        rest = n // lat
-        for ch in range(min(rest, 4), 0, -1):
-            if rest % ch:
-                continue
-            return (rest // ch, lat, ch)
-    return best
+    """Split n devices into (data, lat, channel) sizes: prime factors are
+    dealt round-robin lat -> channel -> data so a balanced mesh exercises
+    every parallelism axis (e.g. 8 -> (2, 2, 2), 4 -> (1, 2, 2))."""
+    factors = []
+    m = n
+    d = 2
+    while m > 1:
+        while m % d == 0:
+            factors.append(d)
+            m //= d
+        d += 1 if d == 2 else 2
+    sizes = {"lat": 1, "channel": 1, "data": 1}
+    order = ["lat", "channel", "data"]
+    for i, f in enumerate(sorted(factors, reverse=True)):
+        sizes[order[i % 3]] *= f
+    return (sizes["data"], sizes["lat"], sizes["channel"])
 
 
 def make_mesh(
