@@ -3,18 +3,24 @@ import time, functools
 import jax, jax.numpy as jnp, numpy as np
 from msfno_tpu.ops.sht import RealSHT, InverseRealSHT
 
+_red = jax.jit(lambda t: jnp.sum(jnp.abs(t).astype(jnp.float32)))
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(_red(leaf)))
+
+
 def timeit(name, f, *args, iters=10, chain=False):
-    out = f(*args); jax.block_until_ready(out)
-    # force sync via scalar fetch
+    out = f(*args)
+    _sync(out)
     t0 = time.perf_counter()
     x = args
     for _ in range(iters):
         out = f(*x)
         if chain:
             x = (out,) + args[1:]
-    # fetch scalar to sync
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(jnp.real(leaf).astype(jnp.float32).ravel()[:8].sum()))
+    _sync(out)
     dt = (time.perf_counter()-t0)/iters
     print(f"{name}: {dt*1e3:.2f} ms", flush=True)
     return dt
