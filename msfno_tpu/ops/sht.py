@@ -45,6 +45,44 @@ def _resolve_modes(nlat: int, nlon: int, lmax, mmax) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=16)
+def _dft_analysis_matrices(nlon: int, mmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """(C, S) with C[w, m] = cos(2 pi m w / W)/W, S[w, m] = sin(.)/W so that
+    fhat_m = x @ C - i * x @ S equals rfft(x, norm="forward")[..., :mmax].
+
+    Rationale (TPU-first): the SFNO truncates to mmax << nlon/2 longitude
+    orders, so the truncated DFT is a skinny matmul that runs on the MXU at
+    matmul rate; XLA's rfft lowers to the VPU and measures ~20x slower at
+    721x1440x256 (see tools/profile_parts.py).
+    """
+    w = np.arange(nlon)[:, None].astype(np.float64)
+    m = np.arange(mmax)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * w * m / nlon
+    return (
+        (np.cos(ang) / nlon).astype(np.float32),
+        (np.sin(ang) / nlon).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_synthesis_matrices(nlon: int, mmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """(Ci, Si) with Ci[m, w] = k_m cos(2 pi m w / W), Si[m, w] = k_m sin(.),
+    k = 1 for m = 0 and the Nyquist bin m = W/2 (whose Si row is zeroed: its
+    imaginary part is discarded, matching irfft), k = 2 otherwise:
+    x_w = sum_m re_m Ci[m, w] - im_m Si[m, w] == irfft(pad(fhat), norm="forward").
+    """
+    if mmax > nlon // 2 + 1:
+        raise ValueError("matmul synthesis requires mmax <= nlon/2 + 1")
+    w = np.arange(nlon)[None, :].astype(np.float64)
+    m = np.arange(mmax)[:, None].astype(np.float64)
+    ang = 2.0 * np.pi * w * m / nlon
+    nyquist = m == nlon // 2
+    k = np.where((m == 0) | (nyquist & (nlon % 2 == 0)), 1.0, 2.0)
+    si = k * np.sin(ang)
+    si[np.broadcast_to(nyquist & (nlon % 2 == 0), si.shape)] = 0.0
+    return (k * np.cos(ang)).astype(np.float32), si.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
 def _sht_weights(
     nlat: int, nlon: int, lmax: int, mmax: int, grid: str, csphase: bool
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -78,6 +116,7 @@ class RealSHT:
     grid: str = "legendre-gauss"
     csphase: bool = True
     spectral_rescale: float = 1.0
+    lon_dft: str = "matmul"  # "matmul" (MXU, truncated DFT) | "fft" (XLA rfft)
 
     def __post_init__(self):
         lmax, mmax = _resolve_modes(self.nlat, self.nlon, self.lmax, self.mmax)
@@ -98,12 +137,17 @@ class RealSHT:
                 f"expected (..., {self.nlat}, {self.nlon}, C), got {x.shape}"
             )
         x = x.astype(jnp.float32)
-        # Longitude analysis. norm="forward" divides by nlon, giving Fourier
-        # coefficients c_m = (1/nlon) sum_j f e^{-i m phi_j}.
-        fhat = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
+        # Longitude analysis: c_m = (1/nlon) sum_j f e^{-i m phi_j}.
+        if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
+            cmat, smat = _dft_analysis_matrices(self.nlon, self.mmax)
+            fr = jnp.einsum("...hwc,wm->...hmc", x, jnp.asarray(cmat))
+            fi = -jnp.einsum("...hwc,wm->...hmc", x, jnp.asarray(smat))
+        else:
+            fhat = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
+            fr, fi = jnp.real(fhat), jnp.imag(fhat)
         w = jnp.asarray(self.weights)
-        re = jnp.einsum("mlh,...hmc->...lmc", w, jnp.real(fhat))
-        im = jnp.einsum("mlh,...hmc->...lmc", w, jnp.imag(fhat))
+        re = jnp.einsum("mlh,...hmc->...lmc", w, fr)
+        im = jnp.einsum("mlh,...hmc->...lmc", w, fi)
         return jax.lax.complex(re, im)
 
 
@@ -118,6 +162,7 @@ class InverseRealSHT:
     grid: str = "legendre-gauss"
     csphase: bool = True
     spectral_rescale: float = 1.0
+    lon_dft: str = "matmul"  # "matmul" (MXU, truncated DFT) | "fft" (XLA irfft)
 
     def __post_init__(self):
         lmax, mmax = _resolve_modes(self.nlat, self.nlon, self.lmax, self.mmax)
@@ -141,6 +186,11 @@ class InverseRealSHT:
         p = jnp.asarray(self.pct)
         re = jnp.einsum("mlh,...lmc->...hmc", p, jnp.real(coeffs))
         im = jnp.einsum("mlh,...lmc->...hmc", p, jnp.imag(coeffs))
+        if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
+            ci, si = _dft_synthesis_matrices(self.nlon, self.mmax)
+            return jnp.einsum("...hmc,mw->...hwc", re, jnp.asarray(ci)) - jnp.einsum(
+                "...hmc,mw->...hwc", im, jnp.asarray(si)
+            )
         xm = jax.lax.complex(re, im)
         nfreq = self.nlon // 2 + 1
         if self.mmax < nfreq:

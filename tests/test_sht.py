@@ -188,3 +188,27 @@ class TestFFT2:
         )
         xb2 = finv(f(xb))
         np.testing.assert_allclose(np.asarray(xb2), np.asarray(xb), atol=1e-5)
+
+
+class TestDftMatmulParity:
+    """matmul-DFT longitude stage == XLA rfft/irfft stage (bit-level up to
+    fp32 accumulation)."""
+
+    @pytest.mark.parametrize("nlat,nlon,mmax", [(32, 64, 17), (24, 48, 25)])
+    def test_forward(self, nlat, nlon, mmax):
+        lmax = nlat // 2
+        kw = dict(lmax=lmax, mmax=min(mmax, nlon // 2 + 1), grid="legendre-gauss")
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, nlat, nlon, 3))
+        a = RealSHT(nlat, nlon, lon_dft="matmul", **kw)(x)
+        b = RealSHT(nlat, nlon, lon_dft="fft", **kw)(x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    @pytest.mark.parametrize("nlat,nlon,mmax", [(32, 64, 17), (24, 48, 25)])
+    def test_inverse(self, nlat, nlon, mmax):
+        lmax = nlat // 2
+        mmax = min(mmax, nlon // 2 + 1)
+        kw = dict(lmax=lmax, mmax=mmax, grid="legendre-gauss")
+        coeffs = _random_coeffs(jax.random.PRNGKey(8), lmax, mmax, 3)
+        a = InverseRealSHT(nlat, nlon, lon_dft="matmul", **kw)(coeffs)
+        b = InverseRealSHT(nlat, nlon, lon_dft="fft", **kw)(coeffs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -36,7 +36,10 @@ isht_dn = InverseRealSHT(120,240,lmax=120,mmax=121,grid="legendre-gauss",spectra
 
 x_full = jnp.ones(full, jnp.float32)
 x_dn = jnp.ones(down, jnp.float32)
-coeffs = jnp.ones((B,120,121,C), jnp.complex64)
+# NOTE: never create complex arrays eagerly on axon (host->device
+# transfer of complex is UNIMPLEMENTED and wedges the session);
+# build them inside jit instead
+coeffs = jax.jit(lambda: jax.lax.complex(jnp.ones((B,120,121,C)), jnp.zeros((B,120,121,C))))()
 
 timeit("sht_full_fwd", jax.jit(sht_full), x_full)
 timeit("isht_full", jax.jit(isht_full), coeffs)
