@@ -2,13 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Two configs are timed on TPU:
+  parity — the reference-faithful fp32 spectral path;
+  fast   — bf16 MXU inputs (fp32 accumulation) + fused Pallas spectral
+           kernel; its output is checked against parity (relative L2).
+The headline metric is the fast config's steps/s.
+
 The reference publishes no numeric speed for this model (BASELINE.md); its
-only forward-speed datapoints are anecdotal comments (GCN film generator
-alone ~3.3 s/batch on a V100-class GPU, MSFNO/Models/train.py:1567-1568).
-We therefore anchor vs_baseline at 1.0 step/s for the full filmed forward —
-i.e. vs_baseline == measured steps/s — and additionally report achieved
-FLOP/s utilization on stderr for the speed-of-light tracking required by
-BASELINE.json.
+only datapoints are anecdotal comments (e.g. the GCN film generator alone at
+~3.3 s/batch on a V100-class GPU, MSFNO/Models/train.py:1567-1568).  We
+anchor vs_baseline at 1.0 step/s for the full filmed forward, i.e.
+vs_baseline == measured steps/s; detailed utilization goes to stderr.
+
+Axon-tunnel rules (see tools/profile_parts.py history): time by chaining the
+step autoregressively and fetching a scalar; never rely on
+block_until_ready; never create complex arrays eagerly.
 """
 
 from __future__ import annotations
@@ -18,6 +26,47 @@ import sys
 import time
 
 import numpy as np
+
+
+def _time_chained(compiled, params, x, sst, iters):
+    import jax.numpy as jnp
+
+    out = compiled(params, x, sst)
+    float(jnp.sum(out[..., 0]))  # warm + sync
+    t0 = time.perf_counter()
+    state = x
+    for _ in range(iters):
+        state = compiled(params, state, sst)
+    float(jnp.sum(state[..., 0]))
+    return (time.perf_counter() - t0) / iters, state
+
+
+def _build(cfg, params=None):
+    import jax
+    import jax.numpy as jnp
+
+    from msfno_tpu.models import FourierNeuralOperatorNetFilmed
+    from msfno_tpu.data.synthetic import synthetic_land_mask
+
+    model = FourierNeuralOperatorNetFilmed(cfg)
+    h, w = cfg.img_size
+    x = jnp.zeros((1, h, w, cfg.in_chans), jnp.float32)
+    hs, ws = cfg.film.sst_shape
+    sst_np = (
+        np.random.default_rng(0)
+        .standard_normal((1, cfg.film.temporal_step, hs, ws))
+        .astype(np.float32)
+    )
+    sst_np[..., synthetic_land_mask(hs, ws)] = np.nan
+    sst = jnp.asarray(sst_np)
+    if params is None:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, sst)
+
+    def fn(params, x, sst):
+        return model.apply(params, x, sst, 1.0)
+
+    compiled = jax.jit(fn).lower(params, x, sst).compile()
+    return compiled, params, x, sst
 
 
 def main() -> None:
@@ -30,74 +79,56 @@ def main() -> None:
     except Exception:
         pass
 
-    backend = jax.default_backend()
-    on_tpu = backend not in ("cpu",)
-
     import __graft_entry__
 
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    info = {"backend": backend}
+
     if on_tpu:
-        fn, example_args = __graft_entry__.entry()
+        t0 = time.perf_counter()
+        parity_c, params, x, sst = _build(__graft_entry__._flagship_cfg())
+        info["compile_parity_s"] = round(time.perf_counter() - t0, 1)
+        dt_parity, out_parity = _time_chained(parity_c, params, x, sst, 10)
+        info["parity_latency_ms"] = round(dt_parity * 1e3, 2)
+
+        t0 = time.perf_counter()
+        fast_c, _, _, _ = _build(
+            __graft_entry__._flagship_cfg(fast=True), params=params
+        )
+        info["compile_fast_s"] = round(time.perf_counter() - t0, 1)
+        dt_fast, out_fast = _time_chained(fast_c, params, x, sst, 10)
+        info["fast_latency_ms"] = round(dt_fast * 1e3, 2)
+
+        # single-step numerics drift of the fast mode
+        y_p = parity_c(params, x, sst)
+        y_f = fast_c(params, x, sst)
+        rel = jax.jit(
+            lambda a, b: jnp.linalg.norm(a - b) / jnp.linalg.norm(a)
+        )(y_p, y_f)
+        info["fast_vs_parity_rel_l2"] = round(float(rel), 5)
+
+        try:
+            ca = parity_c.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = ca.get("flops")
+            if flops:
+                info["model_tflops"] = round(flops / 1e12, 3)
+                info["parity_tflops_per_s"] = round(flops / dt_parity / 1e12, 1)
+                info["fast_tflops_per_s"] = round(flops / dt_fast / 1e12, 1)
+        except Exception:
+            pass
+        dt = dt_fast
         label = "msfno_6h_step_721x1440"
     else:
-        # CPU fallback so the bench always produces a line
-        from msfno_tpu.models import FourierNeuralOperatorNetFilmed
-        from msfno_tpu.data.synthetic import gen_batch
-
         cfg = __graft_entry__._flagship_cfg(tiny=True)
-        model = FourierNeuralOperatorNetFilmed(cfg)
-        b = gen_batch(cfg, 1, 0, seed=0)
-        x = jnp.asarray(b.era5[0])
-        sst = jnp.asarray(b.sst[0])
-        params = model.init(jax.random.PRNGKey(0), x, sst)
-        fn = lambda params, x, sst: model.apply(params, x, sst, 1.0)
-        example_args = (params, x, sst)
+        compiled, params, x, sst = _build(cfg)
+        dt, _ = _time_chained(compiled, params, x, sst, 3)
         label = "msfno_6h_step_tiny_cpu"
 
-    jfn = jax.jit(fn)
-    t0 = time.perf_counter()
-    lowered = jfn.lower(*example_args)
-    compiled = lowered.compile()
-    compile_s = time.perf_counter() - t0
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = ca.get("flops")
-    except Exception:
-        pass
-
-    # warmup (fetch a scalar: on the axon platform block_until_ready does
-    # not reliably block, so force a device->host readback)
-    params, x, sst = example_args
-    out = compiled(params, x, sst)
-    float(jnp.sum(out[..., 0]))
-
-    # timed: chain the step autoregressively (out feeds the next input, the
-    # real rollout pattern) so iterations cannot overlap, then fetch once
-    iters = 10 if on_tpu else 3
-    t0 = time.perf_counter()
-    state = x
-    for _ in range(iters):
-        state = compiled(params, state, sst)
-    float(jnp.sum(state[..., 0]))
-    dt = (time.perf_counter() - t0) / iters
-
-    steps_per_sec = 1.0 / dt
-    info = {
-        "compile_s": round(compile_s, 2),
-        "latency_ms": round(dt * 1e3, 3),
-        "backend": backend,
-    }
-    if flops:
-        achieved = flops / dt
-        info["model_tflops"] = round(flops / 1e12, 3)
-        info["achieved_tflops_per_s"] = round(achieved / 1e12, 2)
-        # TPU v5e peak ~197 bf16 TFLOP/s
-        if on_tpu:
-            info["fraction_of_v5e_peak"] = round(achieved / 197e12, 4)
     print(json.dumps(info), file=sys.stderr)
-
+    steps_per_sec = 1.0 / dt
     print(
         json.dumps(
             {

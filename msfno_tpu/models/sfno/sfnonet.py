@@ -42,17 +42,22 @@ def build_transforms(cfg: SFNOConfig):
     lmax, mmax = cfg.modes_lat, cfg.modes_lon
     if cfg.spectral_transform == "sht":
         r = cfg.spectral_rescale
+        md = cfg.sht_mxu_dtype
         trans_down = RealSHT(
-            nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular", spectral_rescale=r
+            nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular",
+            spectral_rescale=r, mxu_dtype=md,
         )
         itrans_up = InverseRealSHT(
-            nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular", spectral_rescale=r
+            nlat, nlon, lmax=lmax, mmax=mmax, grid="equiangular",
+            spectral_rescale=r, mxu_dtype=md,
         )
         trans = RealSHT(
-            h, w, lmax=lmax, mmax=mmax, grid="legendre-gauss", spectral_rescale=r
+            h, w, lmax=lmax, mmax=mmax, grid="legendre-gauss",
+            spectral_rescale=r, mxu_dtype=md,
         )
         itrans = InverseRealSHT(
-            h, w, lmax=lmax, mmax=mmax, grid="legendre-gauss", spectral_rescale=r
+            h, w, lmax=lmax, mmax=mmax, grid="legendre-gauss",
+            spectral_rescale=r, mxu_dtype=md,
         )
     elif cfg.spectral_transform == "fft":
         trans_down = RealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)

@@ -117,6 +117,10 @@ class RealSHT:
     csphase: bool = True
     spectral_rescale: float = 1.0
     lon_dft: str = "matmul"  # "matmul" (MXU, truncated DFT) | "fft" (XLA rfft)
+    # MXU input dtype for the DFT/Legendre matmuls: "bfloat16" runs them at
+    # native MXU rate with fp32 accumulation; "float32" (default) matches the
+    # reference's fully fp32 transform
+    mxu_dtype: str = "float32"
 
     def __post_init__(self):
         lmax, mmax = _resolve_modes(self.nlat, self.nlon, self.lmax, self.mmax)
@@ -136,18 +140,23 @@ class RealSHT:
             raise ValueError(
                 f"expected (..., {self.nlat}, {self.nlon}, C), got {x.shape}"
             )
+        md = jnp.dtype(self.mxu_dtype)
+        ein = lambda spec, a, b: jnp.einsum(
+            spec, a.astype(md), b.astype(md),
+            preferred_element_type=jnp.float32,
+        )
         x = x.astype(jnp.float32)
         # Longitude analysis: c_m = (1/nlon) sum_j f e^{-i m phi_j}.
         if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
             cmat, smat = _dft_analysis_matrices(self.nlon, self.mmax)
-            fr = jnp.einsum("...hwc,wm->...hmc", x, jnp.asarray(cmat))
-            fi = -jnp.einsum("...hwc,wm->...hmc", x, jnp.asarray(smat))
+            fr = ein("...hwc,wm->...hmc", x, jnp.asarray(cmat))
+            fi = -ein("...hwc,wm->...hmc", x, jnp.asarray(smat))
         else:
             fhat = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
             fr, fi = jnp.real(fhat), jnp.imag(fhat)
         w = jnp.asarray(self.weights)
-        re = jnp.einsum("mlh,...hmc->...lmc", w, fr)
-        im = jnp.einsum("mlh,...hmc->...lmc", w, fi)
+        re = ein("mlh,...hmc->...lmc", w, fr)
+        im = ein("mlh,...hmc->...lmc", w, fi)
         return jax.lax.complex(re, im)
 
 
@@ -163,6 +172,7 @@ class InverseRealSHT:
     csphase: bool = True
     spectral_rescale: float = 1.0
     lon_dft: str = "matmul"  # "matmul" (MXU, truncated DFT) | "fft" (XLA irfft)
+    mxu_dtype: str = "float32"  # see RealSHT.mxu_dtype
 
     def __post_init__(self):
         lmax, mmax = _resolve_modes(self.nlat, self.nlon, self.lmax, self.mmax)
@@ -183,12 +193,17 @@ class InverseRealSHT:
                 f"expected (..., {self.lmax}, {self.mmax}, C), got {coeffs.shape}"
             )
         coeffs = coeffs.astype(jnp.complex64)
+        md = jnp.dtype(self.mxu_dtype)
+        ein = lambda spec, a, b: jnp.einsum(
+            spec, a.astype(md), b.astype(md),
+            preferred_element_type=jnp.float32,
+        )
         p = jnp.asarray(self.pct)
-        re = jnp.einsum("mlh,...lmc->...hmc", p, jnp.real(coeffs))
-        im = jnp.einsum("mlh,...lmc->...hmc", p, jnp.imag(coeffs))
+        re = ein("mlh,...lmc->...hmc", p, jnp.real(coeffs))
+        im = ein("mlh,...lmc->...hmc", p, jnp.imag(coeffs))
         if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
             ci, si = _dft_synthesis_matrices(self.nlon, self.mmax)
-            return jnp.einsum("...hmc,mw->...hwc", re, jnp.asarray(ci)) - jnp.einsum(
+            return ein("...hmc,mw->...hwc", re, jnp.asarray(ci)) - ein(
                 "...hmc,mw->...hwc", im, jnp.asarray(si)
             )
         xm = jax.lax.complex(re, im)

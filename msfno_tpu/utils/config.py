@@ -115,6 +115,9 @@ class SFNOConfig:
     # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
     # accumulation; "float32" reproduces the reference's fp32 spectral path
     spectral_mxu_dtype: str = "float32"
+    # MXU input dtype for the SHT's DFT/Legendre matmuls (fp32 accumulate);
+    # "float32" matches the reference's fully-fp32 transforms
+    sht_mxu_dtype: str = "float32"
     film: FilmConfig | None = None
 
     @property

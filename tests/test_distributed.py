@@ -55,3 +55,35 @@ def test_bf16_model_close_to_fp32():
         jnp.linalg.norm(y16 - y32) / jnp.maximum(jnp.linalg.norm(y32), 1e-9)
     )
     assert rel < 0.05, rel
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="CPU XLA lacks BF16xBF16=F32 dots; fast-mode numerics are "
+    "verified on TPU by bench.py's parity check",
+)
+def test_fast_mode_close_to_fp32():
+    """The full fast stack (bf16 grid compute + bf16-MXU SHT) stays within a
+    few percent of the fp32 model — the precision/perf tradeoff is bounded."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from msfno_tpu.models import FourierNeuralOperatorNet
+    from tests.test_training import small_cfg
+
+    cfg = small_cfg(film=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 3))
+    m32 = FourierNeuralOperatorNet(cfg)
+    params = m32.init(jax.random.PRNGKey(1), x)
+    y32 = m32.apply(params, x)
+    fast_cfg = dataclasses.replace(
+        cfg,
+        compute_dtype="bfloat16",
+        sht_mxu_dtype="bfloat16",
+    )
+    yfast = FourierNeuralOperatorNet(fast_cfg).apply(params, x)
+    rel = float(
+        jnp.linalg.norm(yfast - y32) / jnp.maximum(jnp.linalg.norm(y32), 1e-9)
+    )
+    assert rel < 0.08, rel
