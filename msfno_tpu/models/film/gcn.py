@@ -56,6 +56,7 @@ class GraphConvolution(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Array, dinv_sqrt: Array) -> Array:
@@ -63,6 +64,7 @@ class GraphConvolution(nn.Module):
             self.features,
             use_bias=False,
             kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
             name="weight",
         )(x)
         t = support * dinv_sqrt
@@ -86,6 +88,7 @@ class GCNFilmGenerator(nn.Module):
     embed_dim: int = 512
     depth: int = 6
     custom: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, sst: Array, deterministic: bool = True) -> Array:
@@ -101,13 +104,23 @@ class GCNFilmGenerator(nn.Module):
             x = jnp.moveaxis(jnp.nan_to_num(sst), 1, -1)
         x = x * mask
         dinv = gcn_normalize(mask)
+        x = x.astype(self.dtype)
+        mask_c = mask.astype(self.dtype)
+        dinv_c = dinv.astype(self.dtype)
 
         act = lambda v: jax.nn.leaky_relu(v, 0.01)
-        x = act(GraphConvolution(self.embed_dim, name="conv1")(x, mask, dinv))
+        x = act(
+            GraphConvolution(self.embed_dim, dtype=self.dtype, name="conv1")(
+                x, mask_c, dinv_c
+            )
+        )
         for i in range(self.depth):
             x = x + act(
-                GraphConvolution(self.embed_dim, name=f"conv_{i}")(x, mask, dinv)
+                GraphConvolution(self.embed_dim, dtype=self.dtype, name=f"conv_{i}")(
+                    x, mask_c, dinv_c
+                )
             )
+        x = x.astype(jnp.float32)
 
         # mean over ocean nodes (global_mean_pool / mean(dim=-2))
         n = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)

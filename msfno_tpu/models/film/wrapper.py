@@ -30,9 +30,11 @@ class FilmWrapper(nn.Module):
         cfg = self.cfg
         out = cfg.num_film_features * cfg.film_layers * 2
         kind = cfg.film_gen_type
+        dtype = jnp.dtype(cfg.compute_dtype)
         if kind == "gcn":
             x = GCNFilmGenerator(
-                out, cfg.embed_dim, cfg.model_depth, custom=False, name="film_gen"
+                out, cfg.embed_dim, cfg.model_depth, custom=False, dtype=dtype,
+                name="film_gen",
             )(sst, deterministic)
         elif kind == "transformer":
             x = ViTFilmGenerator(
@@ -63,6 +65,7 @@ class FilmWrapper(nn.Module):
             )(cls_enc, deterministic)
         else:  # default: gcn_custom (main.py:130-134)
             x = GCNFilmGenerator(
-                out, cfg.embed_dim, cfg.model_depth, custom=True, name="film_gen"
+                out, cfg.embed_dim, cfg.model_depth, custom=True, dtype=dtype,
+                name="film_gen",
             )(sst, deterministic)
         return x.reshape(sst.shape[0], 2, cfg.film_layers, cfg.num_film_features)

@@ -281,6 +281,16 @@ class Trainer:
         for k in range(mean_var.shape[0]):
             for c in range(mean_var.shape[1]):
                 metrics[f"MSE var{c} step={k}"] = float(mean_var[k, c])
+        if self.filmed and batches and batches[0].sst is not None:
+            # gamma/beta statistics (reference valid_log, train.py:704-736)
+            from msfno_tpu.models.film.wrapper import FilmWrapper
+
+            film_mod = FilmWrapper(self.cfg.film).apply(
+                {"params": state.params["film_gen"]},
+                jnp.asarray(self.sst_normalizer(batches[0].sst[0])),
+            )
+            metrics["gamma mean"] = float(jnp.mean(film_mod[:, 0]))
+            metrics["beta mean"] = float(jnp.mean(film_mod[:, 1]))
         self.writer.log(metrics, step=self.iter)
         # FiLM scale ramp: += film_scale_step until 1 (train.py:638-641)
         if self.filmed and float(state.film_scale) < 1.0:
@@ -321,6 +331,21 @@ class Trainer:
         )
         self.writer.save(f"_epoch{self.epoch}")
         return path
+
+    def save_data(self, loader, out_dir: str, num_batches: int = 4) -> str:
+        """Dump raw training batches to .npz (reference --save-data action,
+        main.py:293 -> Trainer.save_data)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for i, batch in enumerate(loader):
+            if i >= num_batches:
+                break
+            arrays = {"era5": batch.era5, "times": batch.times}
+            if batch.sst is not None:
+                arrays["sst"] = batch.sst
+            np.savez(os.path.join(out_dir, f"batch_{i:04d}.npz"), **arrays)
+        return out_dir
 
     # ------------------------------------------------ perf harness trio
     # (reference --test-performance: train.py:1196-1337)

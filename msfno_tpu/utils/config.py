@@ -76,6 +76,7 @@ class FilmConfig:
     dropout: float = 0.0
     num_film_features: int = 256  # = embed_dim_sfno of the backbone
     scale_weight: float = 1.0  # mae film-head init scaling
+    compute_dtype: str = "float32"  # generator compute dtype (head stays fp32)
 
 
 @register

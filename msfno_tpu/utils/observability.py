@@ -160,3 +160,27 @@ def device_memory_stats() -> list[dict]:
         except Exception:
             out.append({"device": str(d)})
     return out
+
+
+def create_writer(
+    save_dir: str | None = None,
+    use_wandb: bool = False,
+    project: str | None = None,
+    run_name: str | None = None,
+    resume_id: str | None = None,
+) -> "LocalLog":
+    """Writer factory (reference set_logger, train.py:75-144): a LocalLog
+    that mirrors into a wandb run when requested and available.  wandb run
+    resume via resume_id uses resume="must" (train.py:106-114)."""
+    mirror = None
+    if use_wandb:
+        try:
+            import wandb  # type: ignore
+
+            kwargs = dict(project=project or "msfno-tpu", name=run_name)
+            if resume_id:
+                kwargs.update(id=resume_id, resume="must")
+            mirror = wandb.init(**kwargs)
+        except Exception as e:  # wandb absent in this image
+            log.warning("wandb unavailable (%s); logging locally only", e)
+    return LocalLog(save_dir=save_dir, mirror=mirror)
