@@ -64,9 +64,11 @@ class Trainer:
         sst_normalizer: SSTNormalizer | None = None,
         writer: LocalLog | None = None,
         checkpoint_dir: str | None = None,
+        mesh=None,
     ):
         self.cfg = model_cfg
         self.tcfg = train_cfg
+        self.mesh = mesh
         self.filmed = model_cfg.film is not None
         self.model = (
             FourierNeuralOperatorNetFilmed(model_cfg)
@@ -82,12 +84,34 @@ class Trainer:
         self.epoch = 0
         self.iter = 0
         self._start_time = time.time()
-        self._train_step = jax.jit(self._train_step_impl)
-        self._val_step = jax.jit(self._val_step_impl)
+        if mesh is not None:
+            # SPMD over the mesh: shardings via the annotate hooks + GSPMD
+            from msfno_tpu.parallel.annotate import use_mesh
+
+            def _sharded(fn):
+                def wrapped(state, era5, sst):
+                    with use_mesh(mesh):
+                        return fn(state, era5, sst)
+
+                return jax.jit(wrapped)
+
+            self._train_step = _sharded(self._train_step_impl)
+            self._val_step = _sharded(self._val_step_impl)
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
+            self._val_step = jax.jit(self._val_step_impl)
 
     # ------------------------------------------------------------- setup
 
     def init_state(self, rng: jax.Array | None = None) -> TrainState:
+        state = self._init_state_impl(rng)
+        if self.mesh is not None:
+            from msfno_tpu.parallel.sharded_train import shard_state
+
+            state = shard_state(state, self.mesh)
+        return state
+
+    def _init_state_impl(self, rng: jax.Array | None = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.tcfg.seed)
         h, w = self.cfg.img_size
         x = jnp.zeros((1, h, w, self.cfg.in_chans))
@@ -196,6 +220,22 @@ class Trainer:
     # ------------------------------------------------------------ loops
 
     def _device_batch(self, batch: Batch):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            era5 = jax.device_put(
+                np.asarray(batch.era5),
+                NamedSharding(self.mesh, P(None, "data", "lat", None, None)),
+            )
+            sst = (
+                jax.device_put(
+                    np.asarray(batch.sst),
+                    NamedSharding(self.mesh, P(None, "data", None, None, None)),
+                )
+                if batch.sst is not None
+                else None
+            )
+            return era5, sst
         era5 = jnp.asarray(batch.era5)
         sst = jnp.asarray(batch.sst) if batch.sst is not None else None
         return era5, sst

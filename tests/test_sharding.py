@@ -84,3 +84,16 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_trainer_with_mesh():
+    """Trainer(mesh=...) drives the full train loop SPMD."""
+    mesh = make_mesh(8, shape=(2, 2, 2))
+    cfg = small_cfg(film=True)
+    tcfg = TrainConfig(batch_size=2, validation_interval=0, training_epochs=1,
+                       film_scale_start=1.0)
+    tr = Trainer(cfg, tcfg, mesh=mesh)
+    state = tr.init_state()
+    state = tr.train(state, num_batches=2)
+    assert int(state.step) == 2
