@@ -105,8 +105,11 @@ class InstanceNorm(nn.Module):
         in_dtype = x.dtype
         c = x.shape[-1]
         x32 = x.astype(jnp.float32)
+        # single-pass statistics (E[x^2] - E[x]^2): one read of the (large)
+        # activation instead of jnp.var's two, fp32 accumulation
         mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        mean_sq = jnp.mean(x32 * x32, axis=(-3, -2), keepdims=True)
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
