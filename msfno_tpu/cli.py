@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     act.add_argument("--test-performance", action="store_true")
     act.add_argument("--test-dataloader-speed", action="store_true")
     act.add_argument("--test-batch-size", action="store_true")
+    act.add_argument("--save-data", action="store_true",
+                     help="dump raw batches to npz (reference main.py:293)")
     act.add_argument("--dump-provenance", action="store_true")
 
     data = p.add_argument_group("Data and Data Sources")
@@ -325,6 +327,21 @@ def main(argv=None) -> int:
             synthetic_loader(model_cfg, train_cfg.batch_size, 0, 10)
         )
         print(json.dumps({"dataloader_s_per_batch": sec}))
+        return 0
+
+    if args.save_data:
+        from msfno_tpu.data.synthetic import synthetic_loader
+
+        trainer = wrapper.trainer(train_cfg)
+        out = trainer.save_data(
+            synthetic_loader(
+                model_cfg, train_cfg.batch_size, train_cfg.multi_step_training,
+                args.num_iterations,
+            ),
+            os.path.join(args.output_path, "data"),
+            num_batches=args.num_iterations,
+        )
+        log.info("batches written to %s", out)
         return 0
 
     build_parser().print_help()

@@ -84,3 +84,13 @@ class TestActions:
             ]
         )
         assert rc == 0
+
+
+def test_save_data_action(tmp_path):
+    rc = main(TINY + ["--save-data", "--num-iterations", "2",
+                      "--output-path", str(tmp_path)])
+    assert rc == 0
+    files = os.listdir(tmp_path / "data")
+    assert len(files) == 2
+    data = np.load(tmp_path / "data" / sorted(files)[0])
+    assert "era5" in data

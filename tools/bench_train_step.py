@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Time one full-size MSFNO fine-tuning step on TPU (BASELINE.json config 3:
+FiLM generator + modulated blocks, film-only gradients).
+
+Chains the jitted train step state->state and fetches a scalar at the end
+(axon timing rules; see bench.py docstring)."""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import time
+
+import numpy as np
+
+
+def main(fast: bool = True, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__
+    from msfno_tpu.data.synthetic import gen_batch
+    from msfno_tpu.training.trainer import Trainer
+    from msfno_tpu.utils.config import TrainConfig
+
+    cfg = __graft_entry__._flagship_cfg(fast=fast)
+    tcfg = TrainConfig(batch_size=1, film_scale_start=1.0)
+    trainer = Trainer(cfg, tcfg)
+
+    t0 = time.perf_counter()
+    state = trainer.init_state()
+    print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    batch = gen_batch(cfg, 1, 0, seed=0)
+    era5 = jnp.asarray(batch.era5)
+    sst = jnp.asarray(batch.sst)
+
+    t0 = time.perf_counter()
+    state, metrics = trainer._train_step(state, era5, sst)
+    loss0 = float(metrics["loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s, "
+          f"loss={loss0:.4f}", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer._train_step(state, era5, sst)
+    loss = float(metrics["loss"])  # scalar fetch = sync
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train step: {dt * 1e3:.1f} ms ({1.0 / dt:.2f} steps/s), "
+          f"loss={loss:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(fast="--parity" not in sys.argv)
