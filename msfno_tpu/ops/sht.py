@@ -147,7 +147,14 @@ class RealSHT:
         )
         x = x.astype(jnp.float32)
         # Longitude analysis: c_m = (1/nlon) sum_j f e^{-i m phi_j}.
-        if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
+        if self.lon_dft == "pallas" and self.mmax <= self.nlon // 2 + 1:
+            from msfno_tpu.ops.pallas.dft import dft_analysis
+
+            cmat, smat = _dft_analysis_matrices(self.nlon, self.mmax)
+            fr, fi = dft_analysis(
+                x, jnp.asarray(cmat), jnp.asarray(smat), mxu_dtype=self.mxu_dtype
+            )
+        elif self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
             cmat, smat = _dft_analysis_matrices(self.nlon, self.mmax)
             fr = ein("...hwc,wm->...hmc", x, jnp.asarray(cmat))
             fi = -ein("...hwc,wm->...hmc", x, jnp.asarray(smat))
@@ -201,6 +208,13 @@ class InverseRealSHT:
         p = jnp.asarray(self.pct)
         re = ein("mlh,...lmc->...hmc", p, jnp.real(coeffs))
         im = ein("mlh,...lmc->...hmc", p, jnp.imag(coeffs))
+        if self.lon_dft == "pallas" and self.mmax <= self.nlon // 2 + 1:
+            from msfno_tpu.ops.pallas.dft import dft_synthesis
+
+            ci, si = _dft_synthesis_matrices(self.nlon, self.mmax)
+            return dft_synthesis(
+                re, im, jnp.asarray(ci), jnp.asarray(si), mxu_dtype=self.mxu_dtype
+            )
         if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
             ci, si = _dft_synthesis_matrices(self.nlon, self.mmax)
             return ein("...hmc,mw->...hwc", re, jnp.asarray(ci)) - ein(

@@ -1,6 +1,7 @@
 """Pallas kernel tests, run in interpreter mode on CPU (SURVEY.md section 7.2
 step 8: kernels land after correctness is locked by the einsum path)."""
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,3 +98,61 @@ class TestSpectralMlpKernel:
         np.testing.assert_allclose(
             np.asarray(y_pal), np.asarray(y_ref), rtol=1e-4, atol=1e-4
         )
+
+
+class TestDftKernel:
+    """Pallas DFT kernels match the matmul path (interpret mode)."""
+
+    def test_analysis_matches(self):
+        from msfno_tpu.ops.pallas.dft import dft_analysis
+        from msfno_tpu.ops.sht import _dft_analysis_matrices
+
+        nlon, mmax = 64, 17
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, nlon, 8))
+        cmat, smat = _dft_analysis_matrices(nlon, mmax)
+        fr, fi = dft_analysis(
+            x, jnp.asarray(cmat), jnp.asarray(smat), interpret=True
+        )
+        ref = jnp.fft.rfft(x, axis=-2, norm="forward")[..., :mmax, :]
+        np.testing.assert_allclose(np.asarray(fr), np.real(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fi), np.imag(ref), atol=2e-5)
+
+    def test_synthesis_matches(self):
+        from msfno_tpu.ops.pallas.dft import dft_synthesis
+        from msfno_tpu.ops.sht import _dft_synthesis_matrices
+
+        nlon, mmax = 64, 17
+        re = jax.random.normal(jax.random.PRNGKey(1), (1, 10, mmax, 4))
+        im = jax.random.normal(jax.random.PRNGKey(2), (1, 10, mmax, 4))
+        im = im.at[..., 0, :].set(0.0)
+        ci, si = _dft_synthesis_matrices(nlon, mmax)
+        out = dft_synthesis(
+            re, im, jnp.asarray(ci), jnp.asarray(si), interpret=True
+        )
+        full = jnp.pad(
+            jax.lax.complex(re, im),
+            ((0, 0), (0, 0), (0, nlon // 2 + 1 - mmax), (0, 0)),
+        )
+        ref = jnp.fft.irfft(full, n=nlon, axis=-2, norm="forward")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_sht_pallas_path(self):
+        from msfno_tpu.ops.sht import InverseRealSHT, RealSHT
+
+        nlat, nlon, lmax = 16, 32, 8
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, nlat, nlon, 4))
+        kw = dict(lmax=lmax, mmax=lmax + 1, grid="legendre-gauss")
+        import msfno_tpu.ops.pallas.dft as dft_mod
+
+        orig_a, orig_s = dft_mod.dft_analysis, dft_mod.dft_synthesis
+        dft_mod.dft_analysis = functools.partial(orig_a, interpret=True)
+        dft_mod.dft_synthesis = functools.partial(orig_s, interpret=True)
+        try:
+            a = RealSHT(nlat, nlon, lon_dft="pallas", **kw)(x)
+            b = RealSHT(nlat, nlon, lon_dft="matmul", **kw)(x)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+            ca = InverseRealSHT(nlat, nlon, lon_dft="pallas", **kw)(a)
+            cb = InverseRealSHT(nlat, nlon, lon_dft="matmul", **kw)(b)
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-5)
+        finally:
+            dft_mod.dft_analysis, dft_mod.dft_synthesis = orig_a, orig_s
