@@ -118,13 +118,15 @@ class Trainer:
         if self.filmed:
             f = self.cfg.film
             sst = jnp.zeros((1, f.temporal_step, *f.sst_shape))
-            params = self.model.init(rng, x, sst)["params"]
+            # jit the init: eager flax init is pathological over the
+            # remote-TPU tunnel (thousands of tiny dispatches)
+            params = jax.jit(self.model.init)(rng, x, sst)["params"]
             pred = film_trainable_predicate(
                 self.tcfg.retrain_film, self.cfg.num_layers
             )
             trainable, frozen = split_params(params, pred)
         else:
-            params = self.model.init(rng, x)["params"]
+            params = jax.jit(self.model.init)(rng, x)["params"]
             trainable, frozen = params, {}
         log.info(
             "params: %d trainable / %d frozen",
