@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 H_TILE = 8
+C_TILE = 128  # channel tiling keeps blocks inside the ~16 MB VMEM budget
 
 
 def _analysis_kernel(mxu_dtype):
@@ -82,11 +83,14 @@ def dft_analysis(
     nt = xf.shape[0]
     m = cmat.shape[1]
 
-    grid = (nt // H_TILE,)
-    x_spec = pl.BlockSpec((H_TILE, w, c), lambda i: (i, 0, 0),
+    ct = min(C_TILE, c)
+    if c % ct:
+        raise ValueError(f"channels {c} must divide by {ct}")
+    grid = (nt // H_TILE, c // ct)
+    x_spec = pl.BlockSpec((H_TILE, w, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((w, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((H_TILE, m, c), lambda i: (i, 0, 0),
+    w_spec = pl.BlockSpec((w, m), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((H_TILE, m, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
     fr, fi = pl.pallas_call(
         _analysis_kernel(jnp.dtype(mxu_dtype)),
@@ -131,11 +135,14 @@ def dft_synthesis(
         imf = jnp.pad(imf, ((0, pad), (0, 0), (0, 0)))
     nt = rf.shape[0]
 
-    grid = (nt // H_TILE,)
-    i_spec = pl.BlockSpec((H_TILE, m, c), lambda i: (i, 0, 0),
+    ct = min(C_TILE, c)
+    if c % ct:
+        raise ValueError(f"channels {c} must divide by {ct}")
+    grid = (nt // H_TILE, c // ct)
+    i_spec = pl.BlockSpec((H_TILE, m, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((m, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((H_TILE, w, c), lambda i: (i, 0, 0),
+    w_spec = pl.BlockSpec((m, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((H_TILE, w, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _synthesis_kernel(jnp.dtype(mxu_dtype)),
