@@ -102,6 +102,15 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
     )
 
 
+
+
+def _mlp(remat: bool, name: str, **kw) -> Mlp:
+    """Mlp, optionally rematerialized (reference --checkpointing-encoder/
+    -decoder, main.py:813-831, sfnonet.py:818-858)."""
+    cls = nn.remat(Mlp, static_argnums=(2,)) if remat else Mlp
+    return cls(**kw, name=name)
+
+
 class FourierNeuralOperatorNet(nn.Module):
     """SFNO (reference FourierNeuralOperatorNet, sfnonet.py:406-686)."""
 
@@ -114,13 +123,14 @@ class FourierNeuralOperatorNet(nn.Module):
         transforms = build_transforms(cfg)
         residual = x
 
-        x = Mlp(
+        x = _mlp(
+            cfg.checkpointing_encoder,
+            "encoder",
             hidden_features=cfg.embed_dim,
             out_features=cfg.embed_dim,
             output_bias=False,
             dtype=dtype,
-            name="encoder",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
 
         if cfg.pos_embed:
             pe = self.param(
@@ -141,13 +151,14 @@ class FourierNeuralOperatorNet(nn.Module):
         if cfg.big_skip:
             x = jnp.concatenate([x, residual.astype(x.dtype)], axis=-1)
 
-        x = Mlp(
+        x = _mlp(
+            cfg.checkpointing_decoder,
+            "decoder",
             hidden_features=cfg.embed_dim,
             out_features=cfg.out_chans,
             output_bias=False,
             dtype=dtype,
-            name="decoder",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
         return x.astype(jnp.float32)
 
 
@@ -177,13 +188,14 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
         gamma, beta = film_mod[:, 0], film_mod[:, 1]
 
         residual = x
-        x = Mlp(
+        x = _mlp(
+            cfg.checkpointing_encoder,
+            "encoder",
             hidden_features=cfg.embed_dim,
             out_features=cfg.embed_dim,
             output_bias=False,
             dtype=dtype,
-            name="encoder",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
         if cfg.pos_embed:
             pe = self.param(
                 "pos_embed",
@@ -216,11 +228,12 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
 
         if cfg.big_skip:
             x = jnp.concatenate([x, residual.astype(x.dtype)], axis=-1)
-        x = Mlp(
+        x = _mlp(
+            cfg.checkpointing_decoder,
+            "decoder",
             hidden_features=cfg.embed_dim,
             out_features=cfg.out_chans,
             output_bias=False,
             dtype=dtype,
-            name="decoder",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
         return x.astype(jnp.float32)

@@ -197,3 +197,25 @@ class TestFilmedSFNO:
         gfilm = jax.tree_util.tree_leaves(g["params"]["film_gen"])
         total = sum(float(jnp.sum(jnp.abs(t))) for t in gfilm)
         assert np.isfinite(total) and total > 0
+
+
+def test_checkpointing_encoder_decoder_match():
+    """remat'd encoder/decoder produce identical outputs."""
+    cfg = _small_cfg()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 64, 4))
+    m1 = FourierNeuralOperatorNet(cfg)
+    params = m1.init(jax.random.PRNGKey(0), x)
+    y1 = m1.apply(params, x)
+    m2 = FourierNeuralOperatorNet(
+        dataclasses.replace(cfg, checkpointing_encoder=True, checkpointing_decoder=True)
+    )
+    y2 = m2.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    def loss(p):
+        return jnp.sum(m2.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(
+        sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree_util.tree_leaves(g))
+    )
