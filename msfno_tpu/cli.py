@@ -265,6 +265,21 @@ def main(argv=None) -> int:
     wrapper = get_model(args.model, args.model_version, cfg=model_cfg,
                         assets=args.assets)
 
+    if args.film_weights:
+        # merge film-generator weights onto the backbone (reference
+        # film-checkpoint merge, sfno/model.py:909-912, 983-1005)
+        from msfno_tpu.training.checkpoint import (
+            load_checkpoint as _load_cp,
+            merge_film_checkpoint,
+        )
+
+        if wrapper.params is None:
+            wrapper.init_params()
+        film_params, _, _ = _load_cp(args.film_weights)
+        film_only = {k: v for k, v in film_params.items()
+                     if k in ("film_gen", "film_head")}
+        wrapper.params = merge_film_checkpoint(wrapper.params, film_only)
+
     if args.train or args.test_performance or args.test_batch_size:
         trainer = wrapper.trainer(train_cfg, checkpoint_dir=args.output_path)
         if args.test_batch_size:

@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 H_TILE = 8
 C_TILE = 128  # channel tiling keeps blocks inside the ~16 MB VMEM budget
+C_TILE_SYNTH = 64  # synthesis emits W-wide blocks -> smaller channel tile
 
 
 def _analysis_kernel(mxu_dtype):
@@ -135,7 +136,7 @@ def dft_synthesis(
         imf = jnp.pad(imf, ((0, pad), (0, 0), (0, 0)))
     nt = rf.shape[0]
 
-    ct = min(C_TILE, c)
+    ct = min(C_TILE_SYNTH, c)
     if c % ct:
         raise ValueError(f"channels {c} must divide by {ct}")
     grid = (nt // H_TILE, c // ct)
