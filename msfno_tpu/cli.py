@@ -313,15 +313,31 @@ def main(argv=None) -> int:
     if args.run:
         import numpy as np
 
-        wrapper.load_model(args.resume_checkpoint)
+        if wrapper.params is None:
+            wrapper.load_model(args.resume_checkpoint)
         h, w = model_cfg.img_size
         if args.era5_path:
             x0 = np.load(args.era5_path)
         else:
             log.warning("no --era5-path; running from random initial condition")
             x0 = np.random.randn(1, h, w, model_cfg.in_chans).astype(np.float32)
+        sst_seq = None
+        if model_cfg.film is not None:
+            steps = args.lead_time // 6
+            f = model_cfg.film
+            if args.sst_path:
+                sst_seq = np.load(args.sst_path)
+            else:
+                log.warning("filmed model without --sst-path; synthetic SST")
+                from msfno_tpu.data.synthetic import synthetic_land_mask
+
+                sst_seq = np.random.randn(
+                    steps, 1, f.temporal_step, *f.sst_shape
+                ).astype(np.float32)
+                sst_seq[..., synthetic_land_mask(*f.sst_shape)] = np.nan
         outs = []
-        for field in wrapper.running(x0, lead_time_h=args.lead_time):
+        for field in wrapper.running(x0, lead_time_h=args.lead_time,
+                                     sst_seq=sst_seq):
             outs.append(field)
         if args.output == "npz":
             out_file = os.path.join(args.output_path, "forecast.npz")

@@ -94,3 +94,20 @@ def test_save_data_action(tmp_path):
     assert len(files) == 2
     data = np.load(tmp_path / "data" / sorted(files)[0])
     assert "era5" in data
+
+
+def test_film_weights_merge(tmp_path):
+    """Train film briefly, save, then merge the film weights onto a fresh
+    backbone via --film-weights + --run."""
+    film_args = TINY + ["--model-version", "film", "--coarse-level", "2",
+                        "--model-depth", "1", "--film-embed-dim", "8",
+                        "--mlp-dim", "8", "--temporal-step", "2"]
+    rc = main(film_args + ["--train", "--num-iterations", "1",
+                           "--validation-interval", "0",
+                           "--output-path", str(tmp_path)])
+    assert rc == 0
+    cps = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))
+    rc = main(film_args + ["--run", "--lead-time", "6",
+                           "--film-weights", str(tmp_path / cps[-1]),
+                           "--output-path", str(tmp_path / "run")])
+    assert rc == 0
