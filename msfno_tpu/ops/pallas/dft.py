@@ -22,9 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-H_TILE = 8
+H_TILE = 4  # small blocks: VMEM budget incl. bf16 cast scratch
 C_TILE = 128  # channel tiling keeps blocks inside the ~16 MB VMEM budget
-C_TILE_SYNTH = 64  # synthesis emits W-wide blocks -> smaller channel tile
+H_TILE_SYNTH = 4  # synthesis emits W-wide blocks -> smaller H tile
 
 
 def _analysis_kernel(mxu_dtype):
@@ -130,20 +130,21 @@ def dft_synthesis(
     rf = re.reshape(-1, m, c)
     imf = im.reshape(-1, m, c)
     n = rf.shape[0]
-    pad = -n % H_TILE
+    ht = H_TILE_SYNTH
+    pad = -n % ht
     if pad:
         rf = jnp.pad(rf, ((0, pad), (0, 0), (0, 0)))
         imf = jnp.pad(imf, ((0, pad), (0, 0), (0, 0)))
     nt = rf.shape[0]
 
-    ct = min(C_TILE_SYNTH, c)
+    ct = min(C_TILE, c)
     if c % ct:
         raise ValueError(f"channels {c} must divide by {ct}")
-    grid = (nt // H_TILE, c // ct)
-    i_spec = pl.BlockSpec((H_TILE, m, ct), lambda i, j: (i, 0, j),
+    grid = (nt // ht, c // ct)
+    i_spec = pl.BlockSpec((ht, m, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((m, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((H_TILE, w, ct), lambda i, j: (i, 0, j),
+    o_spec = pl.BlockSpec((ht, w, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _synthesis_kernel(jnp.dtype(mxu_dtype)),
