@@ -175,3 +175,32 @@ class TestSST:
         oni = compute_oni(sst, doy, lat, lon, smooth_days=1)
         assert oni.shape == (n,)
         assert oni[-1] > oni[0]
+
+
+class TestTorchCheckpointIngestion:
+    def test_torch_save_roundtrip(self, tmp_path):
+        """A reference-layout torch checkpoint (torch.save) loads through
+        load_ecmwf_weights_tar into flax params."""
+        import torch
+
+        from msfno_tpu.models.convert import load_ecmwf_weights_tar
+
+        e = 8
+        sd = {
+            "module.pos_embed": torch.randn(1, e, 8, 16),
+            "module.encoder.fwd.0.weight": torch.randn(e, 3, 1, 1),
+            "module.encoder.fwd.0.bias": torch.zeros(e),
+            "module.encoder.fwd.2.weight": torch.randn(e, e, 1, 1),
+            "module.blocks.0.filter_layer.filter.w.0": torch.randn(e, 2 * e, 2),
+            "module.blocks.0.filter_layer.filter.wout": torch.randn(2 * e, e, 2),
+        }
+        path = str(tmp_path / "weights.tar")
+        torch.save({"model_state": sd}, path)
+        out = load_ecmwf_weights_tar(path)
+        assert out["unconverted"] == []
+        p = out["params"]
+        assert p["pos_embed"].shape == (8, 16, e)
+        np.testing.assert_allclose(
+            p["encoder"]["fc1"]["kernel"],
+            sd["module.encoder.fwd.0.weight"].numpy()[:, :, 0, 0].T,
+        )
