@@ -166,11 +166,34 @@ class SpectralAttentionS2(nn.Module):
     use_pallas: bool = False  # fused VMEM-resident kernel (ops/pallas)
     mxu_dtype: str = "float32"
 
+    def _transforms(self):
+        """Under an active mesh with a lat axis > 1 whose size divides this
+        transform's nlat, switch to the explicit all_to_all sharded SHT
+        (parallel/sharded_sht.py); otherwise the plain transforms (GSPMD
+        handles any residual sharding)."""
+        from msfno_tpu.parallel.annotate import active_mesh
+        from msfno_tpu.ops.sht import RealSHT
+
+        fwd, inv = self.forward_transform, self.inverse_transform
+        mesh = active_mesh()
+        if (
+            mesh is not None
+            and not self.use_pallas  # fused kernel path expects unsharded modes
+            and dict(mesh.shape).get("lat", 1) > 1
+            and isinstance(fwd, RealSHT)
+            and fwd.nlat % dict(mesh.shape)["lat"] == 0
+        ):
+            from msfno_tpu.parallel.sharded_sht import make_sharded_transforms
+
+            return make_sharded_transforms(fwd, inv, mesh, "lat")
+        return fwd, inv
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_dtype = x.dtype
         hidden = int(self.hidden_size_factor * self.embed_dim)
-        x = self.forward_transform(x.astype(jnp.float32))
+        forward_transform, inverse_transform = self._transforms()
+        x = forward_transform(x.astype(jnp.float32))
         x = annotate_spectral(x)
 
         dims = [self.embed_dim] + [hidden] * self.spectral_layers
@@ -197,7 +220,7 @@ class SpectralAttentionS2(nn.Module):
             x = compl_mul(x, to_complex(wout))
         x = annotate_spectral(x)
 
-        x = self.inverse_transform(x)
+        x = inverse_transform(x)
         return x.astype(in_dtype)
 
 

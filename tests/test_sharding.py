@@ -97,3 +97,27 @@ def test_trainer_with_mesh():
     state = tr.init_state()
     state = tr.train(state, num_batches=2)
     assert int(state.step) == 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_model_with_sharded_sht_matches():
+    """With an active lat>1 mesh, SpectralAttentionS2 switches to the
+    all_to_all sharded SHT and the model output matches single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from msfno_tpu.models import FourierNeuralOperatorNet
+    from msfno_tpu.parallel.annotate import use_mesh
+
+    cfg = small_cfg(film=False)
+    model = FourierNeuralOperatorNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    y_ref = model.apply(params, x)
+
+    mesh = make_mesh(8, shape=(2, 2, 2))
+    xd = jax.device_put(x, NamedSharding(mesh, P("data", "lat", None, None)))
+    with use_mesh(mesh):
+        y_sh = jax.jit(model.apply)(params, xd)
+    np.testing.assert_allclose(
+        np.asarray(y_sh), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+    )
