@@ -91,6 +91,68 @@ class Mlp(nn.Module):
         return x
 
 
+class _SplitDense(nn.Module):
+    """Dense over concat(x, residual) without materializing the concat; the
+    (C_main + C_skip, features) kernel layout matches a plain Dense on the
+    concatenated input bit-for-bit (checkpoint compatible)."""
+
+    features: int
+    in_main: int
+    in_skip: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, residual: Array) -> Array:
+        kernel = self.param(
+            "kernel",
+            trunc_normal_init(0.02),
+            (self.in_main + self.in_skip, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        return (
+            x.astype(self.dtype) @ k[: self.in_main]
+            + residual.astype(self.dtype) @ k[self.in_main :]
+            + bias.astype(self.dtype)
+        )
+
+
+class BigSkipMlp(nn.Module):
+    """Decoder MLP over concat(x, residual) WITHOUT materializing the concat.
+
+    The reference concatenates the 73-channel input onto the 256-channel
+    features at full resolution before the decoder (big_skip,
+    sfnonet.py:679-684) — a ~0.7 GB HBM write + read per step.  The param
+    tree ({fc1,fc2}/{kernel,bias}) is identical to the plain Mlp's.
+    """
+
+    hidden_features: int
+    out_features: int
+    in_main: int
+    skip_features: int
+    output_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, residual: Array, deterministic: bool = True):
+        h = _SplitDense(
+            self.hidden_features,
+            self.in_main,
+            self.skip_features,
+            dtype=self.dtype,
+            name="fc1",
+        )(x, residual)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(
+            self.out_features,
+            use_bias=self.output_bias,
+            kernel_init=trunc_normal_init(0.02),
+            dtype=self.dtype,
+            name="fc2",
+        )(h)
+        return h
+
+
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over the spatial axes.
 
@@ -129,7 +191,8 @@ class SpatialLayerNorm(nn.Module):
         h, w = self.spatial_shape
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        mean_sq = jnp.mean(x32 * x32, axis=(-3, -2), keepdims=True)
+        var = jnp.maximum(mean_sq - mean * mean, 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (h, w, 1))
         bias = self.param("bias", nn.initializers.zeros, (h, w, 1))

@@ -25,7 +25,7 @@ import numpy as np
 
 from msfno_tpu.models.sfno.blocks import FourierNeuralOperatorBlock
 from msfno_tpu.parallel.annotate import annotate_grid
-from msfno_tpu.models.sfno.layers import Mlp, trunc_normal_init
+from msfno_tpu.models.sfno.layers import BigSkipMlp, Mlp, trunc_normal_init
 from msfno_tpu.ops.fft import InverseRealFFT2, RealFFT2
 from msfno_tpu.ops.sht import InverseRealSHT, RealSHT
 from msfno_tpu.utils.config import SFNOConfig
@@ -149,16 +149,28 @@ class FourierNeuralOperatorNet(nn.Module):
             x = blk(x, None, None, 1.0, deterministic)
 
         if cfg.big_skip:
-            x = jnp.concatenate([x, residual.astype(x.dtype)], axis=-1)
-
-        x = _mlp(
-            cfg.checkpointing_decoder,
-            "decoder",
-            hidden_features=cfg.embed_dim,
-            out_features=cfg.out_chans,
-            output_bias=False,
-            dtype=dtype,
-        )(x, deterministic)
+            dec_cls = (
+                nn.remat(BigSkipMlp, static_argnums=(3,))
+                if cfg.checkpointing_decoder
+                else BigSkipMlp
+            )
+            x = dec_cls(
+                hidden_features=cfg.embed_dim,
+                out_features=cfg.out_chans,
+                in_main=cfg.embed_dim,
+                skip_features=cfg.in_chans,
+                dtype=dtype,
+                name="decoder",
+            )(x, residual, deterministic)
+        else:
+            x = _mlp(
+                cfg.checkpointing_decoder,
+                "decoder",
+                hidden_features=cfg.embed_dim,
+                out_features=cfg.out_chans,
+                output_bias=False,
+                dtype=dtype,
+            )(x, deterministic)
         return x.astype(jnp.float32)
 
 
@@ -227,13 +239,26 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
                 x = blk(x, None, None, 1.0, deterministic)
 
         if cfg.big_skip:
-            x = jnp.concatenate([x, residual.astype(x.dtype)], axis=-1)
-        x = _mlp(
-            cfg.checkpointing_decoder,
-            "decoder",
-            hidden_features=cfg.embed_dim,
-            out_features=cfg.out_chans,
-            output_bias=False,
-            dtype=dtype,
-        )(x, deterministic)
+            dec_cls = (
+                nn.remat(BigSkipMlp, static_argnums=(3,))
+                if cfg.checkpointing_decoder
+                else BigSkipMlp
+            )
+            x = dec_cls(
+                hidden_features=cfg.embed_dim,
+                out_features=cfg.out_chans,
+                in_main=cfg.embed_dim,
+                skip_features=cfg.in_chans,
+                dtype=dtype,
+                name="decoder",
+            )(x, residual, deterministic)
+        else:
+            x = _mlp(
+                cfg.checkpointing_decoder,
+                "decoder",
+                hidden_features=cfg.embed_dim,
+                out_features=cfg.out_chans,
+                output_bias=False,
+                dtype=dtype,
+            )(x, deterministic)
         return x.astype(jnp.float32)
