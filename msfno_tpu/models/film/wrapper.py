@@ -47,6 +47,17 @@ class FilmWrapper(nn.Module):
                 dropout=cfg.dropout,
                 name="film_gen",
             )(sst, deterministic)
+        elif kind == "mae" and cfg.cls_input:
+            # sst is a precomputed cls token (B, embed_dim)
+            x = FeedForward(
+                cfg.embed_dim,
+                cfg.mlp_dim,
+                cfg.dropout,
+                out_dim=out,
+                name="film_head",
+            )(sst, deterministic)
+            return x.reshape(sst.shape[0], 2, cfg.film_layers,
+                             cfg.num_film_features)
         elif kind == "mae":
             (_, _), (_, _), cls_enc, _ = ContextCast(
                 patch_size=cfg.patch_size,

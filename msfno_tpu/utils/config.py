@@ -77,6 +77,10 @@ class FilmConfig:
     num_film_features: int = 256  # = embed_dim_sfno of the backbone
     scale_weight: float = 1.0  # mae film-head init scaling
     compute_dtype: str = "float32"  # generator compute dtype (head stays fp32)
+    # mae generator: feed precomputed encoder cls tokens (B, embed_dim)
+    # directly to the film head instead of running ContextCast each step
+    # (reference cfg.cls path, sfnonet.py:900-907; mae/model.py:125-164)
+    cls_input: bool = False
 
 
 @register

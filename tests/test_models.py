@@ -219,3 +219,15 @@ def test_checkpointing_encoder_decoder_match():
     assert np.isfinite(
         sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree_util.tree_leaves(g))
     )
+
+
+def test_mae_cls_input_film():
+    """Precomputed-cls film path (reference cfg.cls, sfnonet.py:900-907)."""
+    cfg = _film_cfg("mae", cls_input=True)
+    cls = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.embed_dim))
+    wrapper = FilmWrapper(cfg)
+    params = wrapper.init(jax.random.PRNGKey(1), cls)
+    out = wrapper.apply(params, cls)
+    assert out.shape == (2, 2, 1, 16)
+    # only the film head is parameterized (MAE backbone not instantiated)
+    assert set(params["params"]) == {"film_head"}
