@@ -281,7 +281,16 @@ def main(argv=None) -> int:
         wrapper.params = merge_film_checkpoint(wrapper.params, film_only)
 
     if args.train or args.test_performance or args.test_batch_size:
-        trainer = wrapper.trainer(train_cfg, checkpoint_dir=args.output_path)
+        from msfno_tpu.utils.observability import create_writer
+
+        trainer = wrapper.trainer(
+            train_cfg,
+            checkpoint_dir=args.output_path,
+            writer=create_writer(
+                save_dir=args.output_path, use_wandb=args.wandb,
+                project=f"{args.model}-{args.model_version}",
+            ),
+        )
         if args.test_batch_size:
             best = trainer.test_batch_size()
             print(json.dumps({"max_batch_size": best}))

@@ -9,3 +9,14 @@ from msfno_tpu.inference.evaluate import (  # noqa: F401
     evaluate_rollout,
     hourly_climatology,
 )
+from msfno_tpu.inference.io import (  # noqa: F401
+    get_input,
+    get_output,
+    available_inputs,
+    available_outputs,
+)
+from msfno_tpu.inference.forecast_writer import ForecastWriter  # noqa: F401
+from msfno_tpu.inference.eval_checkpoints import (  # noqa: F401
+    evaluate_checkpoints,
+    select_checkpoints,
+)
