@@ -113,6 +113,7 @@ def build_parser() -> argparse.ArgumentParser:
     arch.add_argument("--hard-thresholding-fraction", type=float, default=1.0)
     arch.add_argument("--compression", default=None, choices=[None, "tt"])
     arch.add_argument("--rank", type=int, default=128)
+    arch.add_argument("--checkpointing-mlp", action="store_true")
     arch.add_argument("--checkpointing-block", action="store_true")
     arch.add_argument("--checkpointing-encoder", action="store_true")
     arch.add_argument("--checkpointing-decoder", action="store_true")
@@ -183,6 +184,7 @@ def configs_from_args(args):
         compression=args.compression,
         rank=args.rank,
         spectral_layers=args.spectral_layers,
+        checkpointing_mlp=args.checkpointing_mlp,
         checkpointing_block=args.checkpointing_block,
         checkpointing_encoder=args.checkpointing_encoder,
         checkpointing_decoder=args.checkpointing_decoder,

@@ -131,6 +131,7 @@ class FourierNeuralOperatorBlock(nn.Module):
     rank: int = 128
     use_pallas: bool = False
     mxu_dtype: str = "float32"
+    checkpointing_mlp: bool = False
     filmed: bool = False
     checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -181,13 +182,18 @@ class FourierNeuralOperatorBlock(nn.Module):
             x = film_modulation(x, gamma, beta, scale)
 
         if self.use_mlp:
-            x = Mlp(
+            mlp_cls = (
+                nn.remat(Mlp, static_argnums=(2,))
+                if self.checkpointing_mlp
+                else Mlp
+            )
+            x = mlp_cls(
                 hidden_features=int(self.embed_dim * self.mlp_ratio),
                 out_features=self.embed_dim,
                 drop_rate=self.drop_rate,
                 dtype=self.dtype,
                 name="mlp",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
 
         if self.drop_path_rate > 0.0:
             rng = self.make_rng("droppath") if not deterministic else None

@@ -98,6 +98,7 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
         rank=cfg.rank,
         use_pallas=cfg.use_pallas,
         mxu_dtype=cfg.spectral_mxu_dtype,
+        checkpointing_mlp=cfg.checkpointing_mlp,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

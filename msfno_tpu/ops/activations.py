@@ -34,3 +34,22 @@ def complex_relu(
         return jax.lax.complex(act(jnp.real(z)), jnp.imag(z))
     # identity
     return z
+
+
+def complex_activation(
+    z: jax.Array,
+    act,
+    mode: str = "cartesian",
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Generic complex wrapper for a real activation (reference
+    ComplexActivation, activations.py:55-84): "cartesian" applies act to re
+    and im independently; "modulus" rescales |z| through act; else identity."""
+    if mode == "cartesian":
+        return jax.lax.complex(act(jnp.real(z)), act(jnp.imag(z)))
+    if mode == "modulus":
+        b = 0.0 if bias is None else bias
+        zabs = jnp.abs(z)
+        scale = act(zabs + b) / jnp.maximum(zabs, 1e-30)
+        return z * scale.astype(z.dtype)
+    return z

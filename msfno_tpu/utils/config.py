@@ -109,6 +109,7 @@ class SFNOConfig:
     spectral_layers: int = 3
     pos_embed: bool = True
     spectral_rescale: float = 1e5  # sfnonet.py:550-555 gradient-conditioning trick
+    checkpointing_mlp: bool = False  # jax.checkpoint on block channel-MLPs
     checkpointing_block: bool = False  # jax.checkpoint per block
     checkpointing_encoder: bool = False
     checkpointing_decoder: bool = False
