@@ -1,2 +1,3 @@
-from msfno_tpu.ops.pallas.spectral_mlp import spectral_mlp  # noqa: F401
-from msfno_tpu.ops.pallas.dft import dft_analysis, dft_synthesis  # noqa: F401
+# Export the kernel modules (not their same-named functions, which would
+# shadow the submodule attribute and break `import ...pallas.spectral_mlp`).
+from msfno_tpu.ops.pallas import dft, spectral_mlp  # noqa: F401
