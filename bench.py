@@ -109,7 +109,7 @@ def main() -> None:
 
         def _roll(params, x0, sst):
             def body(state, _):
-                nxt = _model.apply({"params": params}, state, sst, 1.0)
+                nxt = _model.apply(params, state, sst, 1.0)  # params = full variables dict
                 return nxt, jnp.mean(nxt[..., 0])
             _, means = jax.lax.scan(body, x0, None, length=32)
             return means
