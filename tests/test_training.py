@@ -278,3 +278,19 @@ class TestSynthetic:
         assert b.era5.shape == (3, 2, 16, 32, 3)
         assert b.sst.shape == (3, 2, 2, 8, 16)
         assert np.isnan(b.sst).any()
+
+
+class TestReproducibility:
+    def test_same_seed_same_loss(self):
+        """Seeded init + synthetic data give bitwise-reproducible training
+        (reference pre_epoch seeding semantics, train.py:300-305)."""
+        cfg = small_cfg(film=False)
+        tcfg = TrainConfig(batch_size=1, seed=123)
+        losses = []
+        for _ in range(2):
+            tr = Trainer(cfg, tcfg)
+            state = tr.init_state()
+            batch = gen_batch(cfg, 1, 0, seed=tcfg.seed)
+            state, m = tr._train_step(state, jnp.asarray(batch.era5), None)
+            losses.append(float(m["loss"]))
+        assert losses[0] == losses[1]
