@@ -107,17 +107,24 @@ def main() -> None:
 
         _model = _Net(_ge._flagship_cfg(fast=True))
 
-        def _roll(params, x0, sst):
-            def body(state, _):
-                nxt = _model.apply(params, state, sst, 1.0)  # params = full variables dict
+        # SST varies per step (as in real S2S serving) so XLA cannot hoist
+        # the film generator out of the loop
+        def _roll(params, x0, sst_seq):
+            def body(state, s):
+                nxt = _model.apply(params, state, s, 1.0)
                 return nxt, jnp.mean(nxt[..., 0])
-            _, means = jax.lax.scan(body, x0, None, length=32)
+            _, means = jax.lax.scan(body, x0, sst_seq)
             return means
 
+        _mk_seq = jax.jit(
+            lambda s, k: s[None]
+            + 0.01 * jax.random.normal(k, (32,) + s.shape, s.dtype)
+        )
+        sst_seq = _mk_seq(sst, jax.random.PRNGKey(2))
         _jroll = jax.jit(_roll)
-        float(jnp.sum(_jroll(params, x, sst)))  # compile + warm
+        float(jnp.sum(_jroll(params, x, sst_seq)))  # compile + warm
         t0 = time.perf_counter()
-        float(jnp.sum(_jroll(params, x, sst)))
+        float(jnp.sum(_jroll(params, x, sst_seq)))
         dt_scan = (time.perf_counter() - t0) / 32
         info["inscan_latency_ms"] = round(dt_scan * 1e3, 2)
 

@@ -231,3 +231,19 @@ def test_mae_cls_input_film():
     assert out.shape == (2, 2, 1, 16)
     # only the film head is parameterized (MAE backbone not instantiated)
     assert set(params["params"]) == {"film_head"}
+
+
+def test_neighbor_sum_matches_reduce_window():
+    """Separable neighbor sum == 3x3 reduce_window formulation."""
+    from msfno_tpu.models.film.gcn import neighbor_sum
+
+    v = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3))
+    vp = jnp.concatenate([v[:, :, -1:], v, v[:, :, :1]], axis=2)
+    window = jax.lax.reduce_window(
+        vp, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (0, 0), (0, 0)],
+    )
+    ref = window - vp[:, :, 1:-1]
+    np.testing.assert_allclose(
+        np.asarray(neighbor_sum(v)), np.asarray(ref), atol=1e-5
+    )
