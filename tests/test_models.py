@@ -233,17 +233,27 @@ def test_mae_cls_input_film():
     assert set(params["params"]) == {"film_head"}
 
 
-def test_neighbor_sum_matches_reduce_window():
-    """Separable neighbor sum == 3x3 reduce_window formulation."""
+def test_neighbor_sum_semantics():
+    """neighbor_sum == explicit 8-neighbor shifts (periodic lon, zero-pole)."""
     from msfno_tpu.models.film.gcn import neighbor_sum
 
-    v = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3))
-    vp = jnp.concatenate([v[:, :, -1:], v, v[:, :, :1]], axis=2)
-    window = jax.lax.reduce_window(
-        vp, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
-        [(0, 0), (1, 1), (0, 0), (0, 0)],
-    )
-    ref = window - vp[:, :, 1:-1]
+    v = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3)))
+    ref = np.zeros_like(v)
+    h = v.shape[1]
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            shifted = np.roll(v, dj, axis=2)  # periodic longitude
+            if di == 1:
+                shifted = np.concatenate(
+                    [np.zeros_like(shifted[:, :1]), shifted[:, :-1]], axis=1
+                )
+            elif di == -1:
+                shifted = np.concatenate(
+                    [shifted[:, 1:], np.zeros_like(shifted[:, :1])], axis=1
+                )
+            ref += shifted
     np.testing.assert_allclose(
-        np.asarray(neighbor_sum(v)), np.asarray(ref), atol=1e-5
+        np.asarray(neighbor_sum(jnp.asarray(v))), ref, atol=1e-5
     )
