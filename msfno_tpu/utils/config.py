@@ -42,10 +42,13 @@ def from_json(s: str):
     for k, v in d.items():
         if k not in field_names:
             continue
-        f = next(f for f in dataclasses.fields(cls) if f.name == k)
-        # rehydrate nested configs and tuples
+        # rehydrate nested configs and tuples (dataclasses.asdict flattens
+        # nested configs to plain dicts without the __config__ tag, so nested
+        # rehydration is keyed by field name)
         if isinstance(v, dict) and "__config__" in v:
             v = from_json(json.dumps(v))
+        elif isinstance(v, dict) and k == "film":
+            v = from_json(json.dumps({**v, "__config__": "FilmConfig"}))
         elif isinstance(v, list):
             v = tuple(v)
         kwargs[k] = v
