@@ -36,6 +36,19 @@ from msfno_tpu.data.synthetic import Batch
 STEPS_PER_DAY = 4  # 6-hourly
 
 
+def zarr_level_order() -> list[int]:
+    """Pressure-level selection order for zarr reads: ascending 50..1000.
+
+    The reference's `param_level_pl[1]` is descending 1000..50
+    (sfno/model.py:54-57) and is reversed before `.sel(level=...)`
+    (data.py:157-158), so the assembled channels run u50..u1000 — matching
+    the pretrained checkpoint ordering (model.py:62-136) and
+    variables.ORDERING.  Importable without xarray so it stays testable."""
+    from msfno_tpu.models.variables import PL_LEVELS
+
+    return sorted(PL_LEVELS)
+
+
 def year_range_indices(dataset_start_year: int, start_year: int, end_year: int):
     """(start_idx, end_idx) in 6h steps from the dataset start
     (reference data.py:138-151)."""
@@ -62,7 +75,11 @@ def assemble_channels(
     scf:  (6, H, W) surface fields in ERA5 order (10u, 10v, 2t, sp, msl, tcwv)
     u100/v100: (H, W)
     pl:   (4 or 5, 13, H, W) pressure-level fields (u, v, z, t[, r]) with
-          levels ordered 1000..50 (i.e. reference's reversed level_list)
+          levels ascending 50..1000: the reference's `param_level_pl[1]` is
+          descending 1000..50 and is reversed before the .sel
+          (data.py:157-158 with sfno/model.py:54-57), matching the
+          checkpoint channel ordering u50..u1000 (model.py:62-136) and
+          variables.ORDERING
     r:    (13, H, W) relative humidity when not folded into pl
     Returns (H, W, 73).
     """
@@ -113,7 +130,7 @@ class ZarrBackend:  # pragma: no cover - requires xarray/zarr
             raise ImportError(
                 "ZarrBackend needs xarray/zarr; use NpyBackend in this image"
             ) from e
-        from msfno_tpu.models.variables import ERA5_PL_NAMES, ERA5_SFC_NAMES, PL_LEVELS
+        from msfno_tpu.models.variables import ERA5_PL_NAMES, ERA5_SFC_NAMES
 
         self._xr = xr
         self.ds = xr.open_zarr(path, chunks=None)
@@ -126,7 +143,7 @@ class ZarrBackend:  # pragma: no cover - requires xarray/zarr
                           ("10u", "10v", "2t", "sp", "msl", "tcwv")]
         self.pl_names = [ERA5_PL_NAMES[k] for k in ("u", "v", "z", "t")]
         self.rh_name = ERA5_PL_NAMES["r"]
-        self.levels = list(reversed(sorted(PL_LEVELS)))
+        self.levels = zarr_level_order()
         self.n = self.ds.sizes["time"]
 
     def __len__(self):
@@ -158,20 +175,33 @@ class ZarrBackend:  # pragma: no cover - requires xarray/zarr
 @dataclasses.dataclass
 class ERA5Dataset:
     """Multi-step sample assembly over a backend (reference __getitem__,
-    data.py:161-231): index i yields S = multi_step + 2 consecutive 6h states
-    and, per step, a temporal_step-long SST history window ending at it
-    (past_sst semantics, data.py:205-211)."""
+    data.py:156-231): index i yields S = multi_step + 2 consecutive 6h states
+    plus a temporal_step-long SST window per step.
+
+    SST window semantics replicate the reference's get_sst + per-step slice
+    `sst[i:i+temporal_step]` (data.py:204-211, 227) exactly:
+    - past_sst=False (reference constructor default): the global window
+      starts at the sample's first state, so step i's window covers
+      [base+i, base+i+T) — the step's own time and T-1 steps into the future;
+    - past_sst=True: the global window starts T+1 steps earlier, so step i's
+      window covers [base+i-T-1, base+i-1) — strictly past SST ending two
+      steps before the step's time.
+    """
 
     backend: object
     multi_step: int = 0
     temporal_step: int = 28
     with_sst: bool = True
+    past_sst: bool = False
     start_idx: int = 0
     end_idx: int | None = None
 
     def __post_init__(self):
         n = len(self.backend)
-        last_needed = self.multi_step + 2 + self.temporal_step
+        self._pad_past = self.temporal_step + 1 if self.past_sst else 0
+        s = self.multi_step + 2
+        future_needed = s if self.past_sst else max(s, s - 1 + self.temporal_step)
+        last_needed = self._pad_past + future_needed
         self.end_idx = min(self.end_idx or n, n) - last_needed
         if self.end_idx <= self.start_idx:
             raise ValueError("dataset too short for the requested windows")
@@ -179,19 +209,21 @@ class ERA5Dataset:
     def __len__(self):
         return self.end_idx - self.start_idx
 
+    def _sst_window_start(self, base: int, i: int) -> int:
+        # reference: global slice start idx (past: idx-T-1) + per-step offset i
+        return base + i - (self.temporal_step + 1 if self.past_sst else 0)
+
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
         """Returns (era5 (S, H, W, C), sst (S, T, Hs, Ws) | None, times (S,))."""
-        base = self.start_idx + idx + self.temporal_step  # room for past SST
+        base = self.start_idx + idx + self._pad_past
         s = self.multi_step + 2
         era5 = np.stack([self.backend.era5(base + i) for i in range(s)])
         sst = None
         if self.with_sst and getattr(self.backend, "has_sst", True):
             windows = []
             for i in range(s):
-                w = [
-                    self.backend.sst(base + i - self.temporal_step + 1 + t)
-                    for t in range(self.temporal_step)
-                ]
+                w0 = self._sst_window_start(base, i)
+                w = [self.backend.sst(w0 + t) for t in range(self.temporal_step)]
                 if w[0] is None:
                     sst = None
                     break

@@ -97,19 +97,21 @@ def l2_sphere_nosine(
 
 
 def _spectral_norm2(coeffs: Array, spectral_weights=None) -> Array:
-    """|a|^2 summed over modes with the m>0 doubling (losses.py:160-163).
-    coeffs: (..., L, M, C) complex -> (..., C)."""
+    """|a|^2 summed over modes with the m>0 doubling, then over l AND channels
+    (reference losses.py:160-163: norm2 (B,C,L) -> sum dims (-1,-2) -> (B,)).
+    coeffs: (..., L, M, C) complex -> (...,) with L, M, C all reduced."""
     p = jnp.real(coeffs) ** 2 + jnp.imag(coeffs) ** 2
     if spectral_weights is not None:
         p = p * spectral_weights
     norm2 = p[..., 0, :] + 2.0 * jnp.sum(p[..., 1:, :], axis=-2)
-    return jnp.sum(norm2, axis=-2)
+    return jnp.sum(norm2, axis=(-2, -1))
 
 
 def spectral_l2loss_sphere(
     sht, prd: Array, tar: Array, relative: bool = False, squared: bool = True
 ):
-    """(reference spectral_l2loss_sphere, losses.py:158-176)"""
+    """(reference spectral_l2loss_sphere, losses.py:158-176): per-sample norm
+    summed over channels+modes, relative division per sample, batch mean."""
     loss = _spectral_norm2(sht(prd - tar))
     if relative:
         loss = loss / _spectral_norm2(sht(tar))
@@ -231,11 +233,45 @@ def statistical_loss(
     return jnp.mean(score) if reduction == "mean" else jnp.sum(score)
 
 
+@functools.lru_cache(maxsize=4)
+def _loss_sht(h: int, w: int):
+    """Equiangular-grid SHT for the spectral losses, cached per output shape
+    (reference builds its solver once per trainer over the model grid)."""
+    from msfno_tpu.ops.sht import RealSHT
+
+    return RealSHT(h, w, grid="equiangular", spectral_rescale=1.0)
+
+
+def _spectral_loss_entry(fn, **kw):
+    """Adapt an sht-solver loss to the (prd, tar) trainer signature with a
+    lazily built grid-matched SHT."""
+
+    def loss(prd: Array, tar: Array):
+        sht = _loss_sht(prd.shape[-3], prd.shape[-2])
+        return fn(sht, prd, tar, **kw)
+
+    return loss
+
+
+def _fluct_entry(prd: Array, tar: Array, inp: Array):
+    h = prd.shape[-3]
+    return fluct_l2loss_sphere(jnp.asarray(_gauss_w(h)), prd, tar, inp)
+
+
+# All reference losses reachable from --loss-fn (reference create_loss,
+# train.py:433-446, exposes a subset; the spectral family losses.py:158-244
+# is exposed here too).  NormalCRPS/Beta_NLL/StatisticalLoss take
+# distributional predictions and are used by the MAE training path directly
+# (registry_mae.py), not through this (prd, tar) registry.
 LOSSES = {
     "CosineMSE": cosine_mse,
     "L2Sphere": l2_sphere,
     "L2Sphere_noSine": l2_sphere_nosine,
     "MSE": lambda p, t: jnp.mean((p - t) ** 2),
+    "L1": lambda p, t: jnp.mean(jnp.abs(p - t)),
+    "SpectralL2Sphere": _spectral_loss_entry(spectral_l2loss_sphere),
+    "SpectralSphere": _spectral_loss_entry(spectral_loss_sphere),
+    "H1Sphere": _spectral_loss_entry(h1loss_sphere),
 }
 
 

@@ -153,7 +153,13 @@ class Trainer:
         """Multi-step autoregressive loss (reference train.py:146-197).
 
         era5: (S, B, H, W, C) raw; sst: (S, B, T, Hs, Ws) or None.
-        loss = sum_step disc^step * L(out, gt) / (ms+1) / (acc+1).
+        loss = sum_step disc^step * L(out, gt) / (ms+1).
+
+        Accumulation note: the reference scales the loss by 1/(acc+1) and
+        *sums* gradients over the acc+1 micro-steps (train.py:162, 177-185);
+        here optax.MultiSteps (optim.py) *averages* micro-step gradients, so
+        the loss must NOT carry the 1/(acc+1) factor — both conventions yield
+        the mean micro-batch gradient.
         """
         t = self.tcfg
         ms, skip = t.multi_step_training, t.training_step_skip
@@ -167,12 +173,7 @@ class Trainer:
             out = self._apply(params, inp, sst_step, scale)
             if step % (skip + 1) == 0:
                 gt = self.normalizer(era5[step + 1])
-                l = (
-                    self.loss_fn(out, gt)
-                    / (ms + 1)
-                    / (t.accumulation_steps + 1)
-                    * t.discount_factor**step
-                )
+                l = self.loss_fn(out, gt) / (ms + 1) * t.discount_factor**step
                 total = total + l
                 per_step.append(l)
             inp = out
@@ -242,24 +243,48 @@ class Trainer:
         sst = jnp.asarray(batch.sst) if batch.sst is not None else None
         return era5, sst
 
+    def _epoch_iterator(self, loader, epoch: int, num_batches: int):
+        """Resolve the per-epoch batch iterator (reference pre_epoch seeding +
+        sampler.set_epoch, train.py:300-305).  Accepts a PrefetchLoader (has
+        .epoch(e)), a callable epoch -> iterator, a plain iterable, or None
+        (synthetic data)."""
+        if loader is None:
+            return synthetic_loader(
+                self.cfg,
+                self.tcfg.batch_size,
+                self.tcfg.multi_step_training,
+                num_batches,
+                seed=self.tcfg.seed + epoch,  # pre_epoch re-seed (train.py:300-305)
+            )
+        if hasattr(loader, "epoch"):
+            return loader.epoch(epoch)
+        if callable(loader):
+            return loader(epoch)
+        if epoch > 0 and iter(loader) is loader:
+            # a bare iterator is exhausted after epoch 0; training silently on
+            # nothing is the failure mode this guards against
+            raise ValueError(
+                "plain iterator loader cannot be reused across epochs; pass a "
+                "PrefetchLoader or a callable epoch -> iterator"
+            )
+        return iter(loader)
+
     def train(
         self,
         state: TrainState,
-        loader: Iterator[Batch] | None = None,
+        loader=None,
         val_loader: Callable[[], Iterator[Batch]] | None = None,
         num_batches: int = 10,
     ) -> TrainState:
-        """Epoch loop (reference train()/train_epoch, train.py:64-298)."""
+        """Epoch loop (reference train()/train_epoch, train.py:64-298).
+
+        loader: None (synthetic), a PrefetchLoader, a callable
+        epoch -> Iterator[Batch], or (single-epoch only) an iterable of Batch.
+        """
         t = self.tcfg
         try:
             for self.epoch in range(t.training_epochs):
-                it = loader or synthetic_loader(
-                    self.cfg,
-                    t.batch_size,
-                    t.multi_step_training,
-                    num_batches,
-                    seed=t.seed + self.epoch,  # pre_epoch re-seed (train.py:300-305)
-                )
+                it = self._epoch_iterator(loader, self.epoch, num_batches)
                 for i, batch in enumerate(it):
                     self._check_time_limit()
                     era5, sst = self._device_batch(batch)

@@ -126,3 +126,73 @@ class TestNativeLoader:
     def test_missing_file_error(self, npy_store):
         with pytest.raises(IOError):
             load_npy_batch([f"{npy_store}/era5_999999.npy"], (4, 8, 3))
+
+
+class _IdxBackend:
+    """Backend whose arrays are filled with their time index, for window tests."""
+
+    has_sst = True
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def era5(self, idx):
+        return np.full((4, 8, 73), idx, np.float32)
+
+    def sst(self, idx):
+        return np.full((2, 4), idx, np.float32)
+
+
+class TestSSTWindowSemantics:
+    def test_future_mode_default(self):
+        """past_sst=False (reference default): step i's window starts AT the
+        step time and extends T steps forward (data.py:204-207, 227)."""
+        T, ms = 3, 1
+        ds = ERA5Dataset(_IdxBackend(40), multi_step=ms, temporal_step=T,
+                         past_sst=False)
+        era5, sst, _ = ds[0]
+        s = ms + 2
+        assert era5.shape[0] == s and sst.shape == (s, T, 2, 4)
+        for i in range(s):
+            base = era5[i, 0, 0, 0]
+            np.testing.assert_array_equal(
+                sst[i, :, 0, 0], np.arange(base, base + T)
+            )
+
+    def test_past_mode(self):
+        """past_sst=True: window covers [t_i - T - 1, t_i - 1) — strictly past
+        SST ending two steps before the step (data.py:208-211)."""
+        T, ms = 3, 1
+        ds = ERA5Dataset(_IdxBackend(40), multi_step=ms, temporal_step=T,
+                         past_sst=True)
+        era5, sst, _ = ds[0]
+        for i in range(ms + 2):
+            base = era5[i, 0, 0, 0]
+            np.testing.assert_array_equal(
+                sst[i, :, 0, 0], np.arange(base - T - 1, base - 1)
+            )
+
+    def test_window_bounds_respected(self):
+        """Last sample's windows stay inside the backend in both modes."""
+        for past in (False, True):
+            ds = ERA5Dataset(_IdxBackend(20), multi_step=0, temporal_step=4,
+                             past_sst=past)
+            era5, sst, _ = ds[len(ds) - 1]
+            assert sst.max() <= 19 and sst.min() >= 0
+
+
+class TestZarrLevelOrder:
+    def test_ascending_levels(self):
+        """Zarr reads select levels ascending 50..1000, matching the
+        checkpoint channel ordering u50..u1000 (reference data.py:157-158,
+        sfno/model.py:62-136) and variables.ORDERING."""
+        from msfno_tpu.data.era5 import zarr_level_order
+        from msfno_tpu.models.variables import ORDERING
+
+        levels = zarr_level_order()
+        assert levels == sorted(levels) and levels[0] == 50 and levels[-1] == 1000
+        # the u-block of ORDERING runs u50..u1000 in this exact order
+        assert [f"u{l}" for l in levels] == list(ORDERING[8:21])

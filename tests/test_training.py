@@ -294,3 +294,79 @@ class TestReproducibility:
             state, m = tr._train_step(state, jnp.asarray(batch.era5), None)
             losses.append(float(m["loss"]))
         assert losses[0] == losses[1]
+
+
+class TestAccumulationSemantics:
+    def test_acc_matches_full_batch(self):
+        """acc=1 over two half-batches == acc=0 over the concatenated batch
+        (reference sums grads of 1/(acc+1)-scaled losses, train.py:162,177-185;
+        here optax.MultiSteps averages unscaled-loss grads — same update)."""
+        cfg = small_cfg(film=False)
+        base = dict(optimizer="sgd", loss_fn="MSE", learning_rate=1e-2)
+        full = gen_batch(cfg, 2, 0, seed=7)
+        a = dataclasses.replace(full, era5=full.era5[:, :1])
+        b = dataclasses.replace(full, era5=full.era5[:, 1:])
+
+        tr_acc = Trainer(cfg, TrainConfig(accumulation_steps=1, **base))
+        st = tr_acc.init_state()
+        st, _ = tr_acc._train_step(st, jnp.asarray(a.era5), None)
+        st, _ = tr_acc._train_step(st, jnp.asarray(b.era5), None)
+
+        tr_full = Trainer(cfg, TrainConfig(accumulation_steps=0, **base))
+        st_full = tr_full.init_state()
+        st_full, _ = tr_full._train_step(st_full, jnp.asarray(full.era5), None)
+
+        la = jax.tree_util.tree_leaves(st.trainable)
+        lf = jax.tree_util.tree_leaves(st_full.trainable)
+        for x, y in zip(la, lf):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+class TestSpectralLossReduction:
+    def test_channel_sum_semantics(self):
+        """Reference sums spectral norms over channels, means over batch only
+        (losses.py:163-174): duplicating a channel doubles the loss."""
+        k = jax.random.PRNGKey(5)
+        x = jax.random.normal(k, (2, 16, 32, 1))
+        y = jax.random.normal(jax.random.PRNGKey(6), (2, 16, 32, 1))
+        sht = RealSHT(16, 32, lmax=8, mmax=9)
+        one = float(spectral_l2loss_sphere(sht, x, y))
+        two = float(
+            spectral_l2loss_sphere(
+                sht, jnp.concatenate([x, x], -1), jnp.concatenate([y, y], -1)
+            )
+        )
+        np.testing.assert_allclose(two, 2 * one, rtol=1e-5)
+
+    def test_registry_exposes_all_field_losses(self):
+        from msfno_tpu.training.losses import LOSSES, get_loss
+
+        for name in ("CosineMSE", "L2Sphere", "L2Sphere_noSine", "MSE", "L1",
+                     "SpectralL2Sphere", "SpectralSphere", "H1Sphere"):
+            assert name in LOSSES
+            x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 2))
+            v = float(get_loss(name)(x, x * 1.1))
+            assert np.isfinite(v) and v >= 0
+
+
+class TestLoaderEpochProtocol:
+    def test_plain_iterator_multi_epoch_raises(self):
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig(training_epochs=2, validation_interval=0))
+        batches = iter([gen_batch(cfg, 1, 0, seed=0)])
+        st = tr.init_state()
+        with pytest.raises(ValueError, match="plain iterator"):
+            tr.train(st, loader=batches)
+
+    def test_callable_loader_called_per_epoch(self):
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig(training_epochs=2, validation_interval=0))
+        calls = []
+
+        def factory(epoch):
+            calls.append(epoch)
+            return iter([gen_batch(cfg, 1, 0, seed=epoch)])
+
+        st = tr.init_state()
+        tr.train(st, loader=factory)
+        assert calls == [0, 1]
