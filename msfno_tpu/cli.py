@@ -50,12 +50,21 @@ def build_parser() -> argparse.ArgumentParser:
     data.add_argument("--sst-path", default=None)
     data.add_argument("--synthetic-data", action="store_true",
                       help="use the synthetic generator (no data on disk)")
+    data.add_argument("--dataset-start-year", type=int, default=1979,
+                      help="first year present in the store (time index origin)")
     data.add_argument("--trainingset-start-year", type=int, default=1979)
     data.add_argument("--trainingset-end-year", type=int, default=2016)
     data.add_argument("--validationset-start-year", type=int, default=2016)
     data.add_argument("--validationset-end-year", type=int, default=2018)
     data.add_argument("--training-workers", type=int, default=4)
     data.add_argument("--batch-size", type=int, default=1)
+    data.add_argument("--validation-batches", type=int, default=4,
+                      help="validation batches per validation pass")
+    data.add_argument("--past-sst", action="store_true",
+                      help="SST windows strictly before each step "
+                           "(reference past_sst, data.py:208-211)")
+    data.add_argument("--climatology-path", default=None,
+                      help=".npy climatology for --eval-model skill scores")
 
     run = p.add_argument_group("Inference Parameters")
     run.add_argument("--lead-time", type=int, default=24, help="hours")
@@ -81,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--validation-step-skip", type=int, default=0)
     tr.add_argument("--save-checkpoint-interval", type=int, default=1)
     tr.add_argument("--retrain-film", action="store_true")
+    tr.add_argument("--resume-optimizer", action="store_true",
+                    help="restore optimizer state from --resume-checkpoint "
+                         "(reference train.py:398-402)")
+    tr.add_argument("--resume-scheduler", action="store_true",
+                    help="restore LR-schedule position from --resume-checkpoint "
+                         "(reference train.py:428-431)")
     tr.add_argument("--film-scale-start", type=float, default=0.0)
     tr.add_argument("--time-limit", default=None,
                     help="HH:MM:SS graceful-stop wall limit (main.py:149-156)")
@@ -135,6 +150,40 @@ def build_parser() -> argparse.ArgumentParser:
     film.add_argument("--coarse-level", type=int, default=4)
     film.add_argument("--nan-mask-threshold", type=float, default=0.5)
     return p
+
+
+def postprocess_args(args, world_size: int = 1):
+    """Derived-config munging replicated from the reference (main.py:115-136).
+
+    - step-skip expansion: skipping k steps between supervised steps means the
+      rollout must be (k+1)x longer to cover the same supervised horizon
+      (main.py:115-124);
+    - scheduler-horizon rescale: the flag is a horizon in samples; the
+      reference divides by validation_interval*batch*(acc+1)*world because its
+      scheduler steps once per validation (main.py:136).  Here the optax
+      schedule advances once per optimizer update, so the divisor omits
+      validation_interval — the total sample horizon covered is identical,
+      the decay is smooth instead of a per-validation staircase.
+    """
+    if args.training_step_skip > 0:
+        if args.multi_step_training > 0:
+            args.multi_step_training += args.training_step_skip * args.multi_step_training
+        else:
+            log.warning("--training-step-skip given but --multi-step-training is 0")
+    if args.validation_step_skip > 0:
+        if args.multi_step_validation > 0:
+            args.multi_step_validation += (
+                args.validation_step_skip * args.multi_step_validation
+            )
+        else:
+            log.warning("--validation-step-skip given but --multi-step-validation is 0")
+    if args.scheduler != "none":
+        args.scheduler_horizon = max(
+            args.scheduler_horizon
+            // (args.batch_size * (args.accumulation_steps + 1) * world_size),
+            1,
+        )
+    return args
 
 
 def parse_time_limit(value: str | None) -> float | None:
@@ -241,6 +290,132 @@ def merge_resume_config(model_cfg, args):
     return dataclasses.replace(stored, **overrides), meta
 
 
+def build_loaders(args, model_cfg, train_cfg):
+    """--era5-path -> backend -> ERA5Dataset -> PrefetchLoader wiring
+    (reference set_dataloader, train.py:448-521).  Returns
+    (train_loader | None, val_loader_factory | None)."""
+    if not args.era5_path or args.synthetic_data:
+        return None, None
+    from msfno_tpu.data.era5 import (
+        ERA5Dataset,
+        NpyBackend,
+        PrefetchLoader,
+        ZarrBackend,
+        year_range_indices,
+    )
+
+    path = args.era5_path
+    if os.path.isdir(path) and any(
+        f.startswith("era5_") for f in os.listdir(path)
+    ):
+        backend = NpyBackend(path)
+    else:
+        backend = ZarrBackend(path, sst_path=args.sst_path)
+    n = len(backend)
+
+    def year_window(y0, y1):
+        s, e = year_range_indices(args.dataset_start_year, y0, y1)
+        if s >= n:
+            log.warning(
+                "year range %d-%d starts past the store (%d of %d steps); "
+                "using the full store", y0, y1, s, n,
+            )
+            return 0, None
+        return s, min(e, n)
+
+    film = model_cfg.film
+    with_sst = film is not None and not film.cls_input
+    common = dict(
+        backend=backend,
+        temporal_step=film.temporal_step if film else 28,
+        with_sst=with_sst,
+        past_sst=args.past_sst,
+    )
+    tr_s, tr_e = year_window(args.trainingset_start_year, args.trainingset_end_year)
+    va_s, va_e = year_window(
+        args.validationset_start_year, args.validationset_end_year
+    )
+    train_ds = ERA5Dataset(
+        multi_step=train_cfg.multi_step_training,
+        start_idx=tr_s, end_idx=tr_e, **common,
+    )
+    val_ds = ERA5Dataset(
+        multi_step=train_cfg.multi_step_validation,
+        start_idx=va_s, end_idx=va_e, **common,
+    )
+    train_loader = PrefetchLoader(
+        train_ds, batch_size=train_cfg.batch_size, shuffle=True,
+        seed=args.seed, num_workers=args.training_workers,
+    )
+    val_prefetch = PrefetchLoader(
+        val_ds, batch_size=train_cfg.batch_size, shuffle=False,
+        num_workers=args.training_workers,
+    )
+
+    def val_factory():
+        import itertools
+
+        return itertools.islice(val_prefetch.epoch(0), args.validation_batches)
+
+    return train_loader, val_factory
+
+
+def restore_train_state(state, trainer, args, model_cfg, train_cfg):
+    """Resume semantics (reference main.py:179-246 + train.py:398-431):
+    params always come from the checkpoint; optimizer state and schedule
+    position only under --resume-optimizer/--resume-scheduler."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msfno_tpu.training.checkpoint import load_checkpoint, peek
+    from msfno_tpu.training.partition import (
+        film_trainable_predicate,
+        split_params,
+    )
+
+    params, opt_state, meta = load_checkpoint(
+        args.resume_checkpoint,
+        opt_state_template=state.opt_state if args.resume_optimizer else None,
+    )
+    if model_cfg.film is not None:
+        pred = film_trainable_predicate(train_cfg.retrain_film, model_cfg.num_layers)
+        tr_p, fr_p = split_params(params, pred)
+    else:
+        tr_p, fr_p = params, {}
+    state = dc.replace(
+        state,
+        trainable=tr_p,
+        frozen=fr_p,
+        step=jnp.asarray(meta.get("step", 0), jnp.int32),
+        film_scale=jnp.asarray(
+            meta.get("film_scale", train_cfg.film_scale_start), jnp.float32
+        ),
+    )
+    if args.resume_optimizer and opt_state is not None:
+        state = dc.replace(state, opt_state=opt_state)
+    elif args.resume_scheduler:
+        # fast-forward the schedule: optax schedules read the optimizer's
+        # internal count, so set every count leaf to the stored step
+        step = meta.get("step", 0)
+
+        def bump(path, leaf):
+            name = jax.tree_util.keystr(path)
+            if "count" in name and np.ndim(leaf) == 0:
+                return jnp.asarray(step, leaf.dtype)
+            return leaf
+
+        state = dc.replace(
+            state,
+            opt_state=jax.tree_util.tree_map_with_path(bump, state.opt_state),
+        )
+    trainer.iter = int(meta.get("step", 0))
+    trainer.epoch = int(meta.get("epoch", 0))
+    return state
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -250,6 +425,7 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
 
+    args = postprocess_args(args)
     model_cfg, train_cfg = configs_from_args(args)
     if args.resume_checkpoint:
         model_cfg, _ = merge_resume_config(model_cfg, args)
@@ -299,26 +475,105 @@ def main(argv=None) -> int:
             return 0
         state = trainer.init_state()
         if args.resume_checkpoint:
-            from msfno_tpu.training.checkpoint import load_checkpoint
-            from msfno_tpu.training.partition import (
-                film_trainable_predicate, split_params,
-            )
-
-            params, _, _ = load_checkpoint(args.resume_checkpoint)
-            if model_cfg.film is not None:
-                pred = film_trainable_predicate(
-                    train_cfg.retrain_film, model_cfg.num_layers
-                )
-                tr_p, fr_p = split_params(params, pred)
-                import dataclasses as dc
-
-                state = dc.replace(state, trainable=tr_p, frozen=fr_p)
+            state = restore_train_state(state, trainer, args, model_cfg, train_cfg)
         if args.test_performance:
             sec = trainer.test_model_speed(state)
             print(json.dumps({"model_fwd_s": sec}))
             return 0
-        trainer.train(state, num_batches=args.num_iterations)
+        train_loader, val_factory = build_loaders(args, model_cfg, train_cfg)
+        trainer.train(
+            state,
+            loader=train_loader,
+            val_loader=val_factory,
+            num_batches=args.num_iterations,
+        )
         log.info("training done in %.1fs", time.time() - t0)
+        return 0
+
+    if args.save_forecast:
+        # weatherbench2-format forecast dump (reference main.py:298 ->
+        # Trainer.save_forecast, train.py:942-1110)
+        import numpy as np
+
+        from msfno_tpu.training.trainer import save_forecast as save_forecast_fn
+
+        trainer = wrapper.trainer(train_cfg)
+        state = trainer.init_state()
+        if args.resume_checkpoint:
+            state = restore_train_state(state, trainer, args, model_cfg, train_cfg)
+        _, val_factory = build_loaders(args, model_cfg, train_cfg)
+        if val_factory is not None:
+            batches = list(val_factory())
+        else:
+            from msfno_tpu.data.synthetic import gen_batch
+
+            steps_needed = max(train_cfg.multi_step_validation, 1)
+            batches = [
+                gen_batch(model_cfg, train_cfg.batch_size, steps_needed, seed=i)
+                for i in range(args.num_iterations)
+            ]
+        out = save_forecast_fn(
+            trainer,
+            state,
+            batches,
+            steps=max(train_cfg.multi_step_validation, 1),
+            out_path=os.path.join(args.output_path, "forecast_store"),
+            channels=list(getattr(wrapper, "ordering", [])) or None,
+        )
+        log.info("forecast archive written to %s", out)
+        return 0
+
+    if args.eval_model:
+        # checkpoint skill evaluation (reference main.py:303-337 ->
+        # evaluate_model, sfno/model.py:1292-1486)
+        import numpy as np
+
+        from msfno_tpu.inference.eval_checkpoints import (
+            evaluate_checkpoints,
+            select_checkpoints,
+        )
+
+        cps = args.checkpoint_list or select_checkpoints(
+            os.path.join(args.output_path, "checkpoint_*.npz")
+        )
+        if not cps:
+            log.error("no checkpoints to evaluate (--checkpoint-list or "
+                      "checkpoint_*.npz under --output-path)")
+            return 1
+        _, val_factory = build_loaders(args, model_cfg, train_cfg)
+        if val_factory is not None:
+            batches = list(val_factory())
+        else:
+            from msfno_tpu.data.synthetic import gen_batch
+
+            batches = [
+                gen_batch(
+                    model_cfg, train_cfg.batch_size,
+                    max(train_cfg.multi_step_validation, 1), seed=100 + i,
+                )
+                for i in range(2)
+            ]
+        if args.climatology_path:
+            clim = np.load(args.climatology_path)
+        else:
+            log.warning("no --climatology-path; using the batch time-mean as "
+                        "the skill reference")
+            clim = np.mean(
+                np.stack([b.era5 for b in batches]), axis=(0, 1, 2)
+            )
+        reports = evaluate_checkpoints(
+            wrapper.module,
+            cps,
+            batches,
+            climatology=clim,
+            steps=max(train_cfg.multi_step_validation, 1),
+            normalizer=wrapper.normalizer,
+            sst_normalizer=wrapper.sst_normalizer,
+            save_path=os.path.join(args.output_path, "eval"),
+            include_sfno_baseline=args.eval_sfno,
+        )
+        for name, rep in reports.items():
+            log.info("%s: mean skill %.4f", name, float(np.mean(rep.skill)))
         return 0
 
     if args.run:
@@ -356,18 +611,16 @@ def main(argv=None) -> int:
             log.info("forecast written to %s", out_file)
         return 0
 
-    if args.eval_model:
-        log.info("eval-model requires forecasts+targets; see "
-                 "msfno_tpu.inference.evaluate.evaluate_rollout")
-        return 0
-
     if args.test_dataloader_speed:
-        from msfno_tpu.data.synthetic import synthetic_loader
-
         trainer = wrapper.trainer(train_cfg)
-        sec = trainer.test_dataloader_speed(
-            synthetic_loader(model_cfg, train_cfg.batch_size, 0, 10)
-        )
+        train_loader, _ = build_loaders(args, model_cfg, train_cfg)
+        if train_loader is not None:
+            it = train_loader.epoch(0)
+        else:
+            from msfno_tpu.data.synthetic import synthetic_loader
+
+            it = synthetic_loader(model_cfg, train_cfg.batch_size, 0, 10)
+        sec = trainer.test_dataloader_speed(it)
         print(json.dumps({"dataloader_s_per_batch": sec}))
         return 0
 

@@ -198,9 +198,14 @@ class ERA5Dataset:
 
     def __post_init__(self):
         n = len(self.backend)
-        self._pad_past = self.temporal_step + 1 if self.past_sst else 0
         s = self.multi_step + 2
-        future_needed = s if self.past_sst else max(s, s - 1 + self.temporal_step)
+        sst_active = self.with_sst and getattr(self.backend, "has_sst", True)
+        if sst_active and self.past_sst:
+            self._pad_past, future_needed = self.temporal_step + 1, s
+        elif sst_active:
+            self._pad_past, future_needed = 0, max(s, s - 1 + self.temporal_step)
+        else:
+            self._pad_past, future_needed = 0, s
         last_needed = self._pad_past + future_needed
         self.end_idx = min(self.end_idx or n, n) - last_needed
         if self.end_idx <= self.start_idx:

@@ -18,6 +18,22 @@ import numpy as np
 log = logging.getLogger("msfno_tpu")
 
 
+def _multi_host_env() -> bool:
+    """True when the process environment indicates a multi-host launch that
+    jax.distributed.initialize() can auto-configure: TPU pod metadata or a
+    multi-task SLURM allocation."""
+    import os
+
+    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        return True
+    try:
+        return int(os.environ.get("SLURM_NTASKS", "1")) > 1
+    except ValueError:
+        return False
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -32,9 +48,11 @@ def initialize_distributed(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        elif jax.process_count() == 1 and len(jax.devices()) > len(
-            jax.local_devices()
-        ):
+        elif _multi_host_env():
+            # argument-free init resolves the coordinator from the cluster
+            # environment (TPU pod metadata / SLURM); only attempted when such
+            # an environment is detectable — jax.devices() cannot be consulted
+            # here because calling it would initialize the single-host backend
             jax.distributed.initialize()
     except RuntimeError as e:  # already initialized
         log.debug("distributed init skipped: %s", e)
@@ -49,18 +67,25 @@ def initialize_distributed(
 
 
 def measure_scaling(step_fn, make_args, device_counts: list[int],
-                    iters: int = 5) -> dict[int, dict]:
+                    iters: int = 5, mode: str = "weak") -> dict[int, dict]:
     """Throughput vs device count for a mesh-parameterized step function.
 
     step_fn(mesh) -> (callable, args) where callable(*args) returns an array;
-    make_args supplies fresh inputs per mesh.  Returns {n: {seconds, rate,
-    efficiency}} with efficiency relative to the smallest mesh
-    (BASELINE.json: >=80% scaling efficiency target).
+    make_args supplies fresh inputs per mesh.  mode selects the efficiency
+    semantics:
+    - "weak": per-device work is fixed as n grows (e.g. global batch = n x
+      local batch); ideal step time is constant, efficiency = t_base / t_n;
+    - "strong": total work is fixed; ideal step time is t_base * n_base / n,
+      efficiency = (t_base * n_base) / (t_n * n).
+    Returns {n: {seconds, rate, efficiency}} with efficiency relative to the
+    smallest measured mesh (BASELINE.json: >=80% scaling efficiency target).
     """
     from msfno_tpu.parallel.mesh import make_mesh
 
+    if mode not in ("weak", "strong"):
+        raise ValueError(f"mode must be 'weak' or 'strong', got {mode!r}")
     results: dict[int, dict] = {}
-    base_rate = None
+    base: tuple[int, float] | None = None  # (n_base, t_base)
     for n in device_counts:
         if n > len(jax.devices()):
             log.warning("skipping %d devices (only %d available)", n,
@@ -75,14 +100,16 @@ def measure_scaling(step_fn, make_args, device_counts: list[int],
             out = fn(*args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
-        rate = n / dt  # device-steps per second (per-device work fixed)
-        if base_rate is None:
-            base_rate = rate / n
-        results[n] = {
-            "seconds": dt,
-            "rate": rate,
-            "efficiency": rate / (base_rate * n),
-        }
-        log.info("%d devices: %.4fs/step, efficiency %.1f%%", n, dt,
-                 100 * results[n]["efficiency"])
+        if base is None:
+            base = (n, dt)
+        n_base, t_base = base
+        if mode == "weak":
+            efficiency = t_base / dt
+            rate = n / dt  # device-steps/s: per-device work fixed
+        else:
+            efficiency = (t_base * n_base) / (dt * n)
+            rate = 1.0 / dt  # global steps/s: total work fixed
+        results[n] = {"seconds": dt, "rate": rate, "efficiency": efficiency}
+        log.info("%d devices (%s): %.4fs/step, efficiency %.1f%%", n, mode,
+                 dt, 100 * efficiency)
     return results

@@ -111,3 +111,207 @@ def test_film_weights_merge(tmp_path):
                            "--film-weights", str(tmp_path / cps[-1]),
                            "--output-path", str(tmp_path / "run")])
     assert rc == 0
+
+
+@pytest.fixture
+def cli_store(tmp_path):
+    """Tiny npy store matching the TINY config grid (16x32, 3ch) with SST at
+    the coarse-level-2 film shape (7, 16)."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    rng = np.random.default_rng(1)
+    for i in range(16):
+        np.save(f"{root}/era5_{i:06d}.npy",
+                rng.standard_normal((16, 32, 3)).astype(np.float32))
+        sst = rng.standard_normal((7, 16)).astype(np.float32)
+        sst[0, :3] = np.nan
+        np.save(f"{root}/sst_{i:06d}.npy", sst)
+    return root
+
+
+TINY_REAL = [a for a in TINY if a != "--synthetic-data"]
+
+
+class TestRealDataActions:
+    def test_train_real_data_end_to_end(self, tmp_path, cli_store):
+        """--train --era5-path drives backend -> dataset -> PrefetchLoader ->
+        trainer across epochs (reference set_dataloader, train.py:448-521)."""
+        rc = main(
+            TINY_REAL
+            + [
+                "--train", "--era5-path", cli_store, "--training-epochs", "2",
+                "--validation-interval", "0", "--validation-batches", "1",
+                "--output-path", str(tmp_path / "out"),
+            ]
+        )
+        assert rc == 0
+        cps = [f for f in os.listdir(tmp_path / "out") if f.endswith(".npz")]
+        assert cps
+
+    def test_train_film_real_data(self, tmp_path, cli_store):
+        rc = main(
+            TINY_REAL
+            + [
+                "--model-version", "film", "--coarse-level", "2",
+                "--model-depth", "1", "--film-embed-dim", "8", "--mlp-dim", "8",
+                "--temporal-step", "2",
+                "--train", "--era5-path", cli_store,
+                "--validation-interval", "0", "--validation-batches", "1",
+                "--output-path", str(tmp_path / "out"),
+            ]
+        )
+        assert rc == 0
+
+    def test_dataloader_speed_real(self, tmp_path, cli_store, capsys):
+        rc = main(TINY_REAL + ["--test-dataloader-speed", "--era5-path",
+                               cli_store, "--output-path", str(tmp_path)])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert "dataloader_s_per_batch" in json.loads(out)
+
+
+class TestForecastAndEval:
+    def test_save_forecast_dispatch(self, tmp_path):
+        rc = main(
+            TINY
+            + [
+                "--save-forecast", "--num-iterations", "1",
+                "--multi-step-validation", "1",
+                "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 0
+        store = tmp_path / "forecast_store"
+        assert store.exists() and any(store.iterdir())
+
+    def test_eval_model_dispatch(self, tmp_path):
+        rc = main(
+            TINY
+            + [
+                "--train", "--num-iterations", "2", "--validation-interval", "0",
+                "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 0
+        rc = main(
+            TINY
+            + [
+                "--eval-model", "--multi-step-validation", "1",
+                "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 0
+        assert (tmp_path / "eval").exists()
+
+    def test_eval_model_no_checkpoints_errors(self, tmp_path):
+        rc = main(TINY + ["--eval-model", "--output-path", str(tmp_path)])
+        assert rc == 1
+
+
+class TestResumeSemantics:
+    def _train_once(self, tmp_path, extra=()):
+        rc = main(
+            TINY
+            + [
+                "--train", "--num-iterations", "2", "--validation-interval", "0",
+                "--output-path", str(tmp_path),
+            ]
+            + list(extra)
+        )
+        assert rc == 0
+        return sorted(
+            f for f in os.listdir(tmp_path) if f.endswith(".npz")
+        )[-1]
+
+    def test_resume_restores_params_non_filmed(self, tmp_path):
+        """Non-filmed resume must actually load the checkpoint weights
+        (reference restores model+optimizer+counters, main.py:179-246)."""
+        from msfno_tpu.cli import restore_train_state
+        from msfno_tpu.training.checkpoint import load_checkpoint
+
+        cp = self._train_once(tmp_path)
+        args = build_parser().parse_args(
+            TINY + ["--train", "--resume-checkpoint", str(tmp_path / cp)]
+        )
+        from msfno_tpu.cli import configs_from_args
+        from msfno_tpu.models import get_model
+
+        mc, tc = configs_from_args(args)
+        wrapper = get_model("sfno", "latest", cfg=mc)
+        trainer = wrapper.trainer(tc)
+        state = trainer.init_state()
+        state = restore_train_state(state, trainer, args, mc, tc)
+        saved, _, meta = load_checkpoint(str(tmp_path / cp))
+        import jax
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.trainable),
+            jax.tree_util.tree_leaves(saved),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(state.step) == meta["step"]
+
+    def test_resume_optimizer_flag(self, tmp_path):
+        cp = self._train_once(tmp_path)
+        rc = main(
+            TINY
+            + [
+                "--train", "--num-iterations", "1", "--validation-interval", "0",
+                "--resume-checkpoint", str(tmp_path / cp), "--resume-optimizer",
+                "--output-path", str(tmp_path / "resume"),
+            ]
+        )
+        assert rc == 0
+
+    def test_resume_scheduler_fast_forwards(self, tmp_path):
+        from msfno_tpu.cli import configs_from_args, restore_train_state
+        from msfno_tpu.models import get_model
+
+        cp = self._train_once(tmp_path)
+        args = build_parser().parse_args(
+            TINY + ["--train", "--resume-checkpoint", str(tmp_path / cp),
+                    "--resume-scheduler", "--scheduler", "cosine"]
+        )
+        mc, tc = configs_from_args(args)
+        wrapper = get_model("sfno", "latest", cfg=mc)
+        trainer = wrapper.trainer(tc)
+        state = trainer.init_state()
+        state = restore_train_state(state, trainer, args, mc, tc)
+        import jax
+
+        counts = [
+            np.asarray(l)
+            for p, l in jax.tree_util.tree_leaves_with_path(state.opt_state)
+            if "count" in jax.tree_util.keystr(p)
+        ]
+        assert counts and all(c == int(state.step) for c in counts)
+
+
+class TestArgPostprocessing:
+    def test_step_skip_expansion(self):
+        from msfno_tpu.cli import postprocess_args
+
+        args = build_parser().parse_args(
+            ["--multi-step-training", "2", "--training-step-skip", "1",
+             "--multi-step-validation", "3", "--validation-step-skip", "2"]
+        )
+        postprocess_args(args)
+        assert args.multi_step_training == 4  # 2 + 1*2 (main.py:115-124)
+        assert args.multi_step_validation == 9  # 3 + 2*3
+
+    def test_scheduler_horizon_rescale(self):
+        from msfno_tpu.cli import postprocess_args
+
+        args = build_parser().parse_args(
+            ["--scheduler", "cosine", "--scheduler-horizon", "2000",
+             "--batch-size", "2", "--accumulation-steps", "1"]
+        )
+        postprocess_args(args, world_size=2)
+        assert args.scheduler_horizon == 2000 // (2 * 2 * 2)
+
+    def test_no_rescale_without_scheduler(self):
+        from msfno_tpu.cli import postprocess_args
+
+        args = build_parser().parse_args(["--scheduler-horizon", "2000"])
+        postprocess_args(args)
+        assert args.scheduler_horizon == 2000
