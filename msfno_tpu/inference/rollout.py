@@ -34,14 +34,20 @@ class RolloutConfig:
 
 
 def make_step_fn(model, params, filmed: bool, scale: float = 1.0) -> Callable:
-    """One normalized-space 6h step: state -> next state."""
+    """One normalized-space 6h step: state -> next state.
+
+    params are bound as an explicit jit argument, not a closure: closing over
+    on-device arrays bakes them into the lowered program as MLIR constants,
+    which forces a device->host fetch at trace time (pathological or
+    unsupported over remote-TPU transports)."""
     if filmed:
-        def step(x, sst):
-            return model.apply({"params": params}, x, sst, scale)
+        def step(p, x, sst):
+            return model.apply({"params": p}, x, sst, scale)
     else:
-        def step(x, sst):
-            return model.apply({"params": params}, x)
-    return jax.jit(step)
+        def step(p, x, sst):
+            return model.apply({"params": p}, x)
+    jitted = jax.jit(step)
+    return lambda x, sst: jitted(params, x, sst)
 
 
 def rollout(

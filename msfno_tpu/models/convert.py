@@ -26,10 +26,13 @@ import numpy as np
 from flax import traverse_util
 
 DROP_KEYS = {"norm.weight", "norm.bias"}  # dead keys (model.py:218)
-# torch_harmonics transform buffers — not parameters in this framework
+# torch_harmonics transform buffers — not parameters in this framework — and
+# the ComplexReLU "real"-mode bias, which is a registered zero *buffer* never
+# read in the forward pass (reference activations.py:20-23, 42-46)
 BUFFER_PATTERNS = (
     re.compile(r"^(trans|itrans|trans_down|itrans_up)\."),
     re.compile(r"\.(ii|jj)$"),
+    re.compile(r"\.filter\.activation\.bias$"),
 )
 
 
@@ -153,9 +156,25 @@ def convert_sfno_state_dict(
 
 
 def load_ecmwf_weights_tar(path: str, num_layers: int = 12) -> dict:
-    """Load the ECMWF weights.tar (a torch zip checkpoint) and convert."""
-    import torch
+    """Load the ECMWF weights.tar / a reference .pkl checkpoint and convert.
 
-    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
-    weights = checkpoint.get("model_state", checkpoint)
-    return convert_sfno_state_dict(weights, num_layers=num_layers)
+    Torch-free: the file is read by msfno_tpu.models.torch_reader (zip and
+    legacy torch.save formats), so ingestion works in torch-less images.
+    Checkpoint nesting per reference load_model (model.py:213-216) and
+    Trainer.save_checkpoint (train.py:779-819): the state dict lives under
+    "model_state" when wrapped, else the file IS the state dict.
+    """
+    from msfno_tpu.models.torch_reader import (
+        load_torch_checkpoint,
+        state_dict_arrays,
+    )
+
+    checkpoint = load_torch_checkpoint(path)
+    weights = (
+        checkpoint.get("model_state", checkpoint)
+        if isinstance(checkpoint, dict)
+        else checkpoint
+    )
+    return convert_sfno_state_dict(
+        state_dict_arrays(weights), num_layers=num_layers
+    )

@@ -78,7 +78,10 @@ def make_filter(
             name=name,
         )
     if filter_type == "non-linear" and spectral_transform == "fft":
-        return SpectralAttention2d(
+        # the spectral MLP is transform-agnostic; building SpectralAttentionS2
+        # directly keeps the param scope identical to the sht path (filter/w*)
+        # so converted reference weights land in the same tree
+        return SpectralAttentionS2(
             forward_transform,
             inverse_transform,
             embed_dim,

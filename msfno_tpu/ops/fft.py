@@ -49,18 +49,18 @@ class InverseRealFFT2:
         object.__setattr__(self, "mmax", self.mmax or self.nlon // 2 + 1)
 
     def __call__(self, y: jax.Array) -> jax.Array:
+        """Replicates the reference's inverse exactly (layers.py:236-249):
+        ``torch.fft.irfft2(x, s=(nlat, nlon))`` zero-pads the truncated input
+        at the *end* of each frequency axis — the rows the forward transform
+        gathered from the tail (negative latitude frequencies) are therefore
+        re-interpreted at positive positions ceil(lmax/2)..lmax-1.  This makes
+        fwd/inv NOT mutual inverses; it is the reference's semantics and the
+        pretrained-weight contract, so it is reproduced bit-for-bit rather
+        than 'fixed'."""
         y = y.astype(jnp.complex64)
         nfreq = self.nlon // 2 + 1
-        # Undo the two-sided truncation: re-insert zero rows/cols.
-        hi = y[..., : math.ceil(self.lmax / 2), :, :]
-        lo = y[..., math.ceil(self.lmax / 2) :, :, :]
-        mid = self.nlat - self.lmax
-        pad_rows = [(0, 0)] * y.ndim
-        pad_rows[-3] = (0, mid)
-        hi = jnp.pad(hi, pad_rows)
-        full = jnp.concatenate((hi, lo), axis=-3)
-        if self.mmax < nfreq:
-            pad_cols = [(0, 0)] * y.ndim
-            pad_cols[-2] = (0, nfreq - self.mmax)
-            full = jnp.pad(full, pad_cols)
+        pad = [(0, 0)] * y.ndim
+        pad[-3] = (0, self.nlat - y.shape[-3])
+        pad[-2] = (0, nfreq - y.shape[-2])
+        full = jnp.pad(y, pad)
         return jnp.fft.irfft2(full, s=(self.nlat, self.nlon), axes=(-3, -2), norm="ortho")

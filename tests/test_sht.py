@@ -175,14 +175,16 @@ class TestFFT2:
         assert y.shape == (2, lmax, mmax, 4)
         x2 = finv(y)
         assert x2.shape == x.shape
-        # exact roundtrip on a strictly band-limited real field: support
-        # |k| <= lmax/2 - 2 (inside the kept rows on both sides), m < mmax-1
+        # The inverse replicates the reference's end-padding irfft2 semantics
+        # (layers.py:236-249; see InverseRealFFT2 docstring): negative-
+        # frequency rows are re-interpreted at positive positions, so the
+        # round trip is exact only for fields whose m>0 spectrum lives in the
+        # positive rows [0, ceil(lmax/2)) — asserted here.
         spec = np.zeros((2, nlat, nlon // 2 + 1, 4), dtype=np.complex64)
         rng = np.random.default_rng(0)
         kmax, mm = lmax // 2 - 2, mmax - 2
         r = lambda *s: rng.standard_normal(s).astype(np.float32)
         spec[:, :kmax, 1:mm] = r(2, kmax, mm - 1, 4) + 1j * r(2, kmax, mm - 1, 4)
-        spec[:, -kmax:, 1:mm] = r(2, kmax, mm - 1, 4) + 1j * r(2, kmax, mm - 1, 4)
         xb = jnp.fft.irfft2(
             jnp.asarray(spec), s=(nlat, nlon), axes=(-3, -2), norm="ortho"
         )
