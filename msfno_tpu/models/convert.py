@@ -62,6 +62,111 @@ def _linear_to_dense(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+_DROPPED = object()
+
+# ViT params present in the reference state dict but never read by
+# ViT.forward (vit.py:199-254): the sincos pos_embedding path is commented
+# out, cls_token and decoder_position_code are vestigial
+_VIT_DEAD = ("cls_token", "decoder_position_code", "pos_embedding")
+
+
+def _convert_film_key(k: str, v: np.ndarray):
+    """Map a reference ``film_gen.*`` key to this framework's film tree.
+
+    Handles the ViT ("transformer") generator (vit.py:163-258) and the MAE
+    film head (sfnonet.py:880-928).  Returns (path, array), _DROPPED for dead
+    params, or None for unmappable families (GCN).
+    """
+    rest = k[len("film_gen."):]
+
+    # MAE film head: FeedForward Sequential(LN, Linear, GELU, Dropout, Linear)
+    m = re.match(r"^film_head\.net\.([014])\.(weight|bias)$", rest)
+    if m:
+        idx, kind = m.groups()
+        sub = {"0": "norm", "1": "fc1", "4": "fc2"}[idx]
+        if sub == "norm":
+            name = "scale" if kind == "weight" else "bias"
+            return f"film_gen/film_head/{sub}/{name}", v
+        name = "kernel" if kind == "weight" else "bias"
+        return (
+            f"film_gen/film_head/{sub}/{name}",
+            _linear_to_dense(v) if kind == "weight" else v,
+        )
+
+    if not rest.startswith("film_gen."):
+        return None
+    g = rest[len("film_gen."):]
+
+    if any(g.startswith(dead) for dead in _VIT_DEAD):
+        return _DROPPED
+
+    base = "film_gen/film_gen"
+    m = re.match(r"^to_patch_embedding\.(norm1|lin|norm2)\.(weight|bias)$", g)
+    if m:
+        sub, kind = m.groups()
+        if sub == "lin":
+            return (
+                f"{base}/patch_proj/{'kernel' if kind == 'weight' else 'bias'}",
+                _linear_to_dense(v) if kind == "weight" else v,
+            )
+        name = "scale" if kind == "weight" else "bias"
+        return f"{base}/patch_{sub}/{name}", v
+    if g == "encoder_position_code":
+        return f"{base}/encoder_position_code", v[0]
+    m = re.match(r"^transformer\.layers\.(\d+)\.0\.norm\.(weight|bias)$", g)
+    if m:
+        i, kind = m.groups()
+        return (
+            f"{base}/transformer/attn_{i}/norm/"
+            f"{'scale' if kind == 'weight' else 'bias'}",
+            v,
+        )
+    m = re.match(r"^transformer\.layers\.(\d+)\.0\.to_qkv\.weight$", g)
+    if m:
+        return (
+            f"{base}/transformer/attn_{m.group(1)}/to_qkv/kernel",
+            _linear_to_dense(v),
+        )
+    m = re.match(r"^transformer\.layers\.(\d+)\.0\.to_out\.0\.(weight|bias)$", g)
+    if m:
+        i, kind = m.groups()
+        return (
+            f"{base}/transformer/attn_{i}/to_out/"
+            f"{'kernel' if kind == 'weight' else 'bias'}",
+            _linear_to_dense(v) if kind == "weight" else v,
+        )
+    m = re.match(r"^transformer\.layers\.(\d+)\.1\.net\.([014])\.(weight|bias)$", g)
+    if m:
+        i, idx, kind = m.groups()
+        sub = {"0": "norm", "1": "fc1", "4": "fc2"}[idx]
+        if sub == "norm":
+            return (
+                f"{base}/transformer/ff_{i}/norm/"
+                f"{'scale' if kind == 'weight' else 'bias'}",
+                v,
+            )
+        return (
+            f"{base}/transformer/ff_{i}/{sub}/"
+            f"{'kernel' if kind == 'weight' else 'bias'}",
+            _linear_to_dense(v) if kind == "weight" else v,
+        )
+    m = re.match(r"^transformer\.norm\.(weight|bias)$", g)
+    if m:
+        kind = m.group(1)
+        return (
+            f"{base}/transformer/norm/{'scale' if kind == 'weight' else 'bias'}",
+            v,
+        )
+    m = re.match(r"^head_film\.(weight|bias)$", g)
+    if m:
+        kind = m.group(1)
+        return (
+            f"{base}/head_film/{'kernel' if kind == 'weight' else 'bias'}",
+            _linear_to_dense(v) if kind == "weight" else v,
+        )
+    return None
+
+
 def convert_sfno_state_dict(
     state: Mapping[str, object], num_layers: int = 12
 ) -> dict:
@@ -144,9 +249,17 @@ def convert_sfno_state_dict(
             report.append(k)
             continue
         if k.startswith("film_gen."):
-            # film-generator weights retain their own converter paths; the
-            # reference generators are graph/dataset-specific (asset-file
-            # adjacency) and are re-trained in this framework.
+            mapped = _convert_film_key(k, v)
+            if mapped is _DROPPED:
+                continue
+            if mapped is not None:
+                put(*mapped)
+                continue
+            # GCN/GCN_custom weights are deliberately not mappable: the
+            # reference generators operate on a ragged ocean graph with
+            # asset-file adjacency (gcn/gcn.py:21-23, gcn/layers.py:36);
+            # this framework's dense masked-grid redesign has a different
+            # parameter geometry, so those checkpoints require re-training.
             report.append(k)
             continue
         report.append(k)

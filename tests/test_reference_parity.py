@@ -191,3 +191,115 @@ class TestStubIndependence:
             ref_x = ref_i(torch.from_numpy(ref_c)).numpy()
             my_x = np.asarray(my_i(jnp.asarray(my_c[..., None])))[..., 0]
             np.testing.assert_allclose(ref_x, my_x, atol=1e-5)
+
+
+class TestFilmedParity:
+    """Filmed net parity: the reference FourierNeuralOperatorNet_Filmed with
+    ViT ("transformer") and MAE-cls film generators vs the converted JAX
+    model.  GCN film weights are deliberately unmappable (asset-graph layout;
+    see convert.py) and covered by test_gcn_reported_unconvertible."""
+
+    def _ref_filmed(self, film_gen_type, cls=None):
+        sfnonet = import_reference_sfnonet()
+        cfg = types.SimpleNamespace(
+            repeat_film=False, film_gen_type=film_gen_type,
+            patch_size=(28, 9, 9), embed_dim=64, mlp_dim=64,
+            nan_mask_threshold=0.5, dropout=0.0, temporal_step=28, cls=cls,
+            batch_size=1, scale_weight=1.0, film_layers=1, model_depth=2,
+        )
+        net = sfnonet.FourierNeuralOperatorNet_Filmed(
+            "cpu", cfg, img_size=IMG, scale_factor=2, in_chans=4, out_chans=4,
+            embed_dim_sfno=256, num_layers=3, spectral_layers=2, batch_size=1,
+            advanced_logging=False, film_layers=1, model_depth=2,
+        )
+        return net
+
+    def _my_filmed_cfg(self, film_gen_type, cls_input=False, sst_shape=(180, 360)):
+        from msfno_tpu.utils.config import FilmConfig
+
+        return SFNOConfig(
+            img_size=IMG, scale_factor=2, in_chans=4, out_chans=4,
+            embed_dim=256, num_layers=3, spectral_layers=2,
+            film=FilmConfig(
+                film_gen_type=film_gen_type, cls_input=cls_input,
+                film_layers=1, model_depth=2, embed_dim=64, mlp_dim=64,
+                temporal_step=28, patch_size=(28, 9, 9),
+                nan_mask_threshold=0.5, num_film_features=256,
+                sst_shape=sst_shape,
+            ),
+        )
+
+    def test_vit_film_generator(self):
+        """Reference ViT drops NaN-heavy tokens dynamically; the static
+        mask-and-pool reformulation must be numerically identical."""
+        from msfno_tpu.models.sfno.sfnonet import (
+            FourierNeuralOperatorNetFilmed as MyFilmed,
+        )
+
+        net = self._ref_filmed("transformer")
+        sd = _randomize(net, seed=1)
+        g = torch.Generator().manual_seed(11)
+        sst = torch.randn(2, 28, 180, 360, generator=g)
+        sst[:, :, :40, :100] = float("nan")  # shared land mask
+        x = torch.randn(2, 4, *IMG, generator=g)
+        with torch.no_grad():
+            ref_out = net(x, sst, 0.7).numpy()
+        res = convert_sfno_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, num_layers=3
+        )
+        assert res["unconverted"] == [], res["unconverted"]
+        model = MyFilmed(self._my_filmed_cfg("transformer"))
+        my_out = np.asarray(
+            jax.jit(model.apply)(
+                {"params": res["params"]},
+                jnp.asarray(np.moveaxis(x.numpy(), 1, -1)),
+                jnp.asarray(sst.numpy()),
+                0.7,
+            )
+        )
+        rel = np.linalg.norm(ref_out - np.moveaxis(my_out, -1, 1)) / (
+            np.linalg.norm(ref_out)
+        )
+        assert rel < REL_L2_GATE, rel
+
+    def test_mae_cls_film_head(self):
+        """Precomputed-cls MAE path: film_head FeedForward over cls tokens
+        (reference cfg.cls semantics, sfnonet.py:896-907)."""
+        from msfno_tpu.models.sfno.sfnonet import (
+            FourierNeuralOperatorNetFilmed as MyFilmed,
+        )
+
+        net = self._ref_filmed("mae", cls="precomputed")
+        sd = _randomize(net, seed=2)
+        g = torch.Generator().manual_seed(12)
+        cls_tok = torch.randn(2, 64, generator=g)
+        x = torch.randn(2, 4, *IMG, generator=g)
+        with torch.no_grad():
+            ref_out = net(x, cls_tok, 0.5).numpy()
+        res = convert_sfno_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, num_layers=3
+        )
+        assert res["unconverted"] == []
+        model = MyFilmed(self._my_filmed_cfg("mae", cls_input=True))
+        my_out = np.asarray(
+            jax.jit(model.apply)(
+                {"params": res["params"]},
+                jnp.asarray(np.moveaxis(x.numpy(), 1, -1)),
+                jnp.asarray(cls_tok.numpy()),
+                0.5,
+            )
+        )
+        rel = np.linalg.norm(ref_out - np.moveaxis(my_out, -1, 1)) / (
+            np.linalg.norm(ref_out)
+        )
+        assert rel < REL_L2_GATE, rel
+
+    def test_gcn_reported_unconvertible(self):
+        """GCN film weights land in the unconverted report (documented
+        re-train decision), never silently merged."""
+        fake = {
+            "film_gen.film_gen.gcs.0.weight": np.zeros((4, 4)),
+            "pos_embed": np.zeros((1, 8, 4, 6), np.float32),
+        }
+        res = convert_sfno_state_dict(fake, num_layers=3)
+        assert res["unconverted"] == ["film_gen.film_gen.gcs.0.weight"]
