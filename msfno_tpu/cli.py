@@ -147,6 +147,8 @@ def build_parser() -> argparse.ArgumentParser:
     film.add_argument("--film-embed-dim", type=int, default=512)
     film.add_argument("--mlp-dim", type=int, default=512)
     film.add_argument("--temporal-step", type=int, default=28)
+    film.add_argument("--patch-size", type=int, nargs=3, default=[28, 9, 9],
+                      help="(t, h, w) patch for vit/mae film generators")
     film.add_argument("--coarse-level", type=int, default=4)
     film.add_argument("--nan-mask-threshold", type=float, default=0.5)
     return p
@@ -210,6 +212,7 @@ def configs_from_args(args):
             embed_dim=args.film_embed_dim,
             mlp_dim=args.mlp_dim,
             temporal_step=args.temporal_step,
+            patch_size=tuple(args.patch_size),
             coarse_level=args.coarse_level,
             sst_shape=(
                 (args.img_size[0] - 1) // args.coarse_level,
@@ -457,6 +460,64 @@ def main(argv=None) -> int:
         film_only = {k: v for k, v in film_params.items()
                      if k in ("film_gen", "film_head")}
         wrapper.params = merge_film_checkpoint(wrapper.params, film_only)
+
+    if args.train and args.model == "mae" and args.model_version != "lin-probe":
+        # MAE SST pretraining (reference mae --train, train.py:318-339):
+        # stochastic-mask CRPS reconstruction over SST history windows
+        import numpy as np
+
+        from msfno_tpu.utils.observability import create_writer
+
+        f = model_cfg.film
+
+        def sst_batches():
+            if args.sst_path or args.era5_path:
+                from msfno_tpu.data.era5 import (
+                    ERA5Dataset,
+                    NpyBackend,
+                    PrefetchLoader,
+                )
+
+                backend = NpyBackend(args.sst_path or args.era5_path)
+                ds = ERA5Dataset(
+                    backend, multi_step=0, temporal_step=f.temporal_step,
+                    past_sst=args.past_sst,
+                )
+                for epoch in range(train_cfg.training_epochs):
+                    loader = PrefetchLoader(
+                        ds, batch_size=train_cfg.batch_size, shuffle=True,
+                        seed=args.seed,
+                        num_workers=args.training_workers,
+                    )
+                    for batch in loader.epoch(epoch):
+                        if batch.sst is None:
+                            raise ValueError("store has no sst_*.npy files")
+                        yield batch.sst[0]  # step-0 window (S, B, T, H, W)
+            else:
+                from msfno_tpu.data.synthetic import synthetic_sst
+
+                rng = np.random.default_rng(args.seed)
+                for _ in range(args.num_iterations):
+                    yield synthetic_sst(
+                        rng, train_cfg.batch_size, f.temporal_step, *f.sst_shape
+                    )
+
+        writer = create_writer(
+            save_dir=args.output_path, use_wandb=args.wandb,
+            project=f"{args.model}-{args.model_version}",
+        )
+        params, losses = wrapper.pretrain(
+            sst_batches(),
+            learning_rate=train_cfg.learning_rate,
+            seed=args.seed,
+            writer=writer,
+        )
+        wrapper.save_checkpoint(
+            os.path.join(args.output_path, "checkpoint_mae_final.npz")
+        )
+        writer.save("_mae")
+        log.info("mae pretraining done: final crps %.5f", losses[-1])
+        return 0
 
     if args.train or args.test_performance or args.test_batch_size:
         from msfno_tpu.utils.observability import create_writer

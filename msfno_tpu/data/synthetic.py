@@ -72,6 +72,26 @@ def gen_batch(
     return Batch(era5=era5, sst=sst, times=times)
 
 
+def synthetic_sst(
+    rng: np.random.Generator,
+    batch_size: int,
+    temporal_step: int,
+    hs: int,
+    ws: int,
+    land_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """One (B, T, Hs, Ws) SST history batch with NaN over land — the MAE
+    pretraining input shape (reference gen_test_data sst component,
+    train.py:1210-1243)."""
+    sst = rng.standard_normal((batch_size, temporal_step, hs, ws)).astype(
+        np.float32
+    )
+    if land_mask is None:
+        land_mask = synthetic_land_mask(hs, ws)
+    sst[..., land_mask] = np.nan
+    return sst
+
+
 def synthetic_loader(
     cfg: SFNOConfig,
     batch_size: int = 1,

@@ -111,22 +111,39 @@ class ContextCast(nn.Module):
 
         z = z + enc_pos[None]
 
-        # random masking (maenet.py:234-246): keep first M of a random shuffle
-        m_keep = max(int(n * (1.0 - mask_ratio)), 1)
+        # random masking (maenet.py:234-246).  Two static-shape realizations:
+        # - static Python mask_ratio: keep the first M of a random shuffle and
+        #   gather (cheapest; M tokens through the encoder);
+        # - traced mask_ratio (per-batch U(0.4, 0.8) sampled inside jit, the
+        #   reference's train.py:334 semantics): the kept COUNT is data-
+        #   dependent, so instead of gathering, all N tokens run through the
+        #   encoder and masked tokens are excluded via the attention mask —
+        #   numerically identical for every kept token and the class token
+        #   (softmax never sees masked keys), verified in tests/test_models.py.
         if rng is None:
             rng = jax.random.PRNGKey(0)
         noise = jax.random.uniform(rng, (b, n))
-        shuffle = jnp.argsort(noise, axis=1)
-        restore = jnp.argsort(shuffle, axis=1)
-        keep_idcs = shuffle[:, :m_keep]
-        kept_binary = jnp.zeros((b, n)).at[
-            jnp.arange(b)[:, None], keep_idcs
-        ].set(1.0)
-        loss_mask_tok = 1.0 - kept_binary  # 1 where reconstruction is scored
+        dynamic = not isinstance(mask_ratio, (float, int))
+        if dynamic:
+            m_keep = jnp.maximum(jnp.floor(n * (1.0 - mask_ratio)), 1.0)
+            rank = jnp.argsort(jnp.argsort(noise, axis=1), axis=1)
+            kept = rank < m_keep  # (B, N) bool, static shape
+        else:
+            m_keep = max(int(n * (1.0 - mask_ratio)), 1)
+            shuffle = jnp.argsort(noise, axis=1)
+            restore = jnp.argsort(shuffle, axis=1)
+            keep_idcs = shuffle[:, :m_keep]
+            kept = jnp.zeros((b, n), bool).at[
+                jnp.arange(b)[:, None], keep_idcs
+            ].set(True)
+        loss_mask_tok = 1.0 - kept.astype(jnp.float32)  # 1 = scored
 
         take = lambda a, idx: jnp.take_along_axis(a, idx[..., None], axis=1)
-        z_kept = take(z, keep_idcs)
-        valid_kept = jnp.take_along_axis(valid, keep_idcs, axis=1)
+        if dynamic:
+            z_kept, valid_kept = z, valid & kept
+        else:
+            z_kept = take(z, keep_idcs)
+            valid_kept = jnp.take_along_axis(valid, keep_idcs, axis=1)
 
         # encoder with class token
         z_enc = jnp.concatenate([jnp.broadcast_to(cls_tok[None], (b, 1, self.encoder_dim)), z_kept], axis=1)
@@ -152,9 +169,18 @@ class ContextCast(nn.Module):
         y = nn.LayerNorm(name="dec_proj_norm")(z_enc)
         y = nn.Dense(self.decoder_dim, name="dec_proj")(y)
         cls_dec_in, y_kept = y[:, :1], y[:, 1:]
-        mask_fill = jnp.broadcast_to(mask_tok[None], (b, n - m_keep, self.decoder_dim))
-        y_full = jnp.concatenate([y_kept, mask_fill], axis=1)
-        y_full = take(y_full, restore) + dec_pos[None]
+        if dynamic:
+            y_full = jnp.where(
+                kept[..., None],
+                y_kept,
+                jnp.broadcast_to(mask_tok[None], (b, n, self.decoder_dim)),
+            ) + dec_pos[None]
+        else:
+            mask_fill = jnp.broadcast_to(
+                mask_tok[None], (b, n - m_keep, self.decoder_dim)
+            )
+            y_full = jnp.concatenate([y_kept, mask_fill], axis=1)
+            y_full = take(y_full, restore) + dec_pos[None]
         y_full = jnp.concatenate([cls_dec_in, y_full], axis=1)
         valid_dec = jnp.concatenate([jnp.ones((b, 1), bool), valid], axis=1)
         for i in range(self.decoder_depth):

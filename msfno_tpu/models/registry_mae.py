@@ -48,23 +48,69 @@ class MAEWrapper(ModelWrapper):
         return normal_crps(mean, std, obs, mask=loss_mask)
 
     def make_train_step(self, tx, mask_range=(0.4, 0.8)):
-        """Jitted MAE pretraining step; mask ratio drawn U(0.4, 0.8) per the
-        reference (train.py:334: np.random.uniform(0.4, 0.8))."""
+        """Jitted MAE pretraining step; the mask ratio is drawn U(0.4, 0.8)
+        per batch *inside* the jitted step (reference train.py:334:
+        np.random.uniform(0.4, 0.8)).  The traced ratio flows through
+        ContextCast's dynamic-mask path (attention-masked, static shapes)."""
         lo, hi = mask_range
-        mask_ratio = float((lo + hi) / 2)  # static for XLA; midpoint of range
 
         @jax.jit
         def step(params, opt_state, sst, rng):
             import optax
 
+            ratio_rng, mask_rng = jax.random.split(rng)
+            mask_ratio = jax.random.uniform(ratio_rng, (), minval=lo, maxval=hi)
+
             def loss_fn(p):
-                return self.loss(p, sst, mask_ratio, rng)
+                return self.loss(p, sst, mask_ratio, mask_rng)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state2 = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state2, loss
 
         return step
+
+    def pretrain(
+        self,
+        sst_batches,
+        steps: int | None = None,
+        learning_rate: float = 1e-3,
+        seed: int = 0,
+        log_every: int = 10,
+        writer=None,
+    ):
+        """SST pretraining driver (reference mae --train path,
+        train.py:318-339 + mae/model.py): iterate SST batches, CRPS
+        reconstruction loss with per-batch stochastic mask ratio.
+
+        sst_batches: iterable of (B, T, Hs, Ws) arrays (NaN over land).
+        Returns (params, losses)."""
+        import logging
+
+        import optax
+
+        log = logging.getLogger("msfno_tpu")
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(seed))
+        tx = optax.adam(learning_rate)
+        opt_state = tx.init(self.params)
+        step = self.make_train_step(tx)
+        rng = jax.random.PRNGKey(seed)
+        params, losses = self.params, []
+        for i, sst in enumerate(sst_batches):
+            if steps is not None and i >= steps:
+                break
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(sst), sub
+            )
+            losses.append(float(loss))
+            if writer is not None:
+                writer.log({"mae loss": losses[-1]}, step=i)
+            if i % log_every == 0:
+                log.info("mae pretrain step %d: crps %.5f", i, losses[-1])
+        self.params = params
+        return params, losses
 
     def compute_cls_tokens(self, sst_batches) -> tuple[np.ndarray, np.ndarray]:
         """Precompute encoder/decoder class tokens over a dataset so the film

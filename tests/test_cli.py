@@ -315,3 +315,20 @@ class TestArgPostprocessing:
         args = build_parser().parse_args(["--scheduler-horizon", "2000"])
         postprocess_args(args)
         assert args.scheduler_horizon == 2000
+
+
+def test_mae_pretrain_action(tmp_path):
+    """--train --model mae runs SST pretraining (stochastic mask ratio) and
+    writes a checkpoint (reference mae --train, train.py:318-339)."""
+    rc = main([
+        "--model", "mae", "--train", "--synthetic-data",
+        "--img-size", "17", "32", "--scale-factor", "2",
+        "--in-chans", "3", "--out-chans", "3", "--embed-dim", "8",
+        "--num-layers", "1", "--spectral-layers", "1",
+        "--model-depth", "1", "--film-embed-dim", "32", "--mlp-dim", "32",
+        "--temporal-step", "4", "--coarse-level", "1",
+        "--patch-size", "4", "4", "4",
+        "--num-iterations", "2", "--output-path", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "checkpoint_mae_final.npz").exists()

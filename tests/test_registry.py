@@ -204,3 +204,84 @@ class TestTorchCheckpointIngestion:
             p["encoder"]["fc1"]["kernel"],
             sd["module.encoder.fwd.0.weight"].numpy()[:, :, 0, 0].T,
         )
+
+
+class TestMAEStochasticMask:
+    def test_dynamic_equals_static_mask(self):
+        """The traced-ratio (attention-masked) path is numerically identical
+        to the gather path at the same ratio/rng — so the reference's
+        per-batch U(0.4, 0.8) sampling (train.py:334) costs no fidelity."""
+        from msfno_tpu.models.film.mae import ContextCast
+
+        m = ContextCast(patch_size=(4, 4, 4), encoder_dim=32, decoder_dim=32,
+                        encoder_depth=2, decoder_depth=1, heads=4)
+        sst = np.random.default_rng(0).standard_normal((2, 4, 16, 32)).astype(
+            np.float32
+        )
+        sst[:, :, :4, :6] = np.nan
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(sst))["params"]
+        rng = jax.random.PRNGKey(3)
+        (sm, ss), (lm_s, _), cls_s, _ = m.apply(
+            {"params": params}, jnp.asarray(sst), mask_ratio=0.5, rng=rng
+        )
+        (dm, ds), (lm_d, _), cls_d, _ = m.apply(
+            {"params": params}, jnp.asarray(sst),
+            mask_ratio=jnp.asarray(0.5), rng=rng,
+        )
+        np.testing.assert_array_equal(np.asarray(lm_s), np.asarray(lm_d))
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(dm), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(ds), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cls_s), np.asarray(cls_d),
+                                   atol=1e-5)
+
+    def test_stochastic_train_step_updates(self):
+        import optax
+
+        cfg = small_cfg(film=True)
+        w = get_model("mae", cfg=cfg)
+        p0 = w.init_params()
+        tx = optax.adam(1e-3)
+        st = tx.init(p0)
+        step = w.make_train_step(tx)
+        f = cfg.film
+        sst = np.random.default_rng(1).standard_normal(
+            (2, f.temporal_step, *f.sst_shape)
+        ).astype(np.float32)
+        p1, st, l1 = step(p0, st, jnp.asarray(sst), jax.random.PRNGKey(1))
+        p2, st, l2 = step(p1, st, jnp.asarray(sst), jax.random.PRNGKey(2))
+        assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+        a = jax.tree_util.tree_leaves(p0)[0]
+        b = jax.tree_util.tree_leaves(p2)[0]
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        # different rngs draw different ratios -> different losses
+        _, _, l1b = step(p0, tx.init(p0), jnp.asarray(sst), jax.random.PRNGKey(9))
+        assert float(l1b) != float(l1)
+
+    def test_pretrain_driver(self):
+        cfg = small_cfg(film=True)
+        w = get_model("mae", cfg=cfg)
+        f = cfg.film
+        rng = np.random.default_rng(2)
+        batches = [
+            rng.standard_normal((2, f.temporal_step, *f.sst_shape)).astype(
+                np.float32
+            )
+            for _ in range(3)
+        ]
+        params, losses = w.pretrain(batches, learning_rate=1e-3, seed=0)
+        assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+
+
+class TestMAEOniDemo:
+    def test_probe_beats_climatology(self):
+        """Miniature of examples/mae_oni_demo.py: MAE cls -> ridge probe must
+        beat the day-of-year-climatology ONI baseline (the reference's
+        LinearProbingMAE yardstick: 0.25-0.40 vs 0.628)."""
+        import sys, os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from examples.mae_oni_demo import run
+
+        res = run(steps=10, n_days=240, seed=0)
+        assert np.isfinite(res["model_mae"])
+        assert res["model_mae"] < res["climatology_mae"]
