@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msfno_tpu.ops.activations import complex_relu
-from msfno_tpu.parallel.annotate import annotate_spectral
+from msfno_tpu.parallel.annotate import annotate_modes, annotate_spectral
 from msfno_tpu.ops.contractions import (
     compl_contract_dense,
     compl_contract_tril,
@@ -49,6 +49,28 @@ def scaled_normal_init(scale: float):
         return scale * jax.random.normal(key, shape, dtype)
 
     return init
+
+
+def spectral_transforms(fwd, inv, use_pallas: bool = False):
+    """Under an active mesh with a lat axis > 1, switch SHT transforms to the
+    explicit all_to_all sharded variant (parallel/sharded_sht.py); otherwise
+    the plain transforms (GSPMD handles any residual sharding).  Any nlat is
+    supported — the sharded transform pads latitude internally, so the
+    full-resolution 721-row grid engages too."""
+    from msfno_tpu.parallel.annotate import active_mesh
+    from msfno_tpu.ops.sht import RealSHT
+
+    mesh = active_mesh()
+    if (
+        mesh is not None
+        and not use_pallas  # fused kernel path expects unsharded modes
+        and dict(mesh.shape).get("lat", 1) > 1
+        and isinstance(fwd, RealSHT)
+    ):
+        from msfno_tpu.parallel.sharded_sht import make_sharded_transforms
+
+        return make_sharded_transforms(fwd, inv, mesh, "lat")
+    return fwd, inv
 
 
 class Mlp(nn.Module):
@@ -230,26 +252,9 @@ class SpectralAttentionS2(nn.Module):
     mxu_dtype: str = "float32"
 
     def _transforms(self):
-        """Under an active mesh with a lat axis > 1 whose size divides this
-        transform's nlat, switch to the explicit all_to_all sharded SHT
-        (parallel/sharded_sht.py); otherwise the plain transforms (GSPMD
-        handles any residual sharding)."""
-        from msfno_tpu.parallel.annotate import active_mesh
-        from msfno_tpu.ops.sht import RealSHT
-
-        fwd, inv = self.forward_transform, self.inverse_transform
-        mesh = active_mesh()
-        if (
-            mesh is not None
-            and not self.use_pallas  # fused kernel path expects unsharded modes
-            and dict(mesh.shape).get("lat", 1) > 1
-            and isinstance(fwd, RealSHT)
-            and fwd.nlat % dict(mesh.shape)["lat"] == 0
-        ):
-            from msfno_tpu.parallel.sharded_sht import make_sharded_transforms
-
-            return make_sharded_transforms(fwd, inv, mesh, "lat")
-        return fwd, inv
+        return spectral_transforms(
+            self.forward_transform, self.inverse_transform, self.use_pallas
+        )
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -310,8 +315,15 @@ class SpectralConvS2(nn.Module):
         ii, jj = np.tril_indices(lmax, m=mmax)
         k = len(ii)
 
-        x = self.forward_transform(x.astype(jnp.float32))
+        forward_transform, inverse_transform = spectral_transforms(
+            self.forward_transform, self.inverse_transform
+        )
+        x = forward_transform(x.astype(jnp.float32))
+        # tril gather over the (possibly m-sharded) dense mode rectangle:
+        # under a mesh GSPMD turns this into a balanced gather and the
+        # per-mode contraction below runs sharded over the K axis
         xk = x[..., ii, jj, :]  # (..., K, C)
+        xk = annotate_modes(xk)
 
         if self.compression == "tt":
             g1 = self.param(
@@ -332,9 +344,9 @@ class SpectralConvS2(nn.Module):
             )
             yk = compl_contract_tril(xk, to_complex(w))
 
-        y = jnp.zeros(x.shape[:-3] + (lmax, mmax, self.embed_dim), x.dtype)
+        y = jnp.zeros(x.shape[:-1] + (self.embed_dim,), x.dtype)
         y = y.at[..., ii, jj, :].set(yk)
-        y = self.inverse_transform(y)
+        y = inverse_transform(y)
         return y.astype(in_dtype)
 
 

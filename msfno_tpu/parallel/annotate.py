@@ -15,7 +15,7 @@ import contextvars
 import jax
 from jax.sharding import NamedSharding
 
-from msfno_tpu.parallel.mesh import grid_pspec, spectral_pspec
+from msfno_tpu.parallel.mesh import grid_pspec, modes_pspec, spectral_pspec
 
 _active_mesh = contextvars.ContextVar("msfno_active_mesh", default=None)
 
@@ -48,3 +48,8 @@ def annotate_grid(x):
 def annotate_spectral(x):
     """(B, L, M, C) spectral activations: shard batch/m/channel."""
     return _constrain(x, spectral_pspec())
+
+
+def annotate_modes(x):
+    """(B, K, C) gathered triangular modes: shard batch/modes/channel."""
+    return _constrain(x, modes_pspec())

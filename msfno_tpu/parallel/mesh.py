@@ -76,6 +76,12 @@ def spectral_pspec() -> P:
     return P("data", None, "lat", "channel")
 
 
+def modes_pspec() -> P:
+    """Gathered triangular mode set (B, K, C): modes over lat, channels over
+    channel (SpectralConvS2's per-mode contraction layout)."""
+    return P("data", "lat", "channel")
+
+
 def batch_pspec() -> P:
     """Raw input batch (B, H, W, C_in): C_in (73) stays unsharded."""
     return P("data", "lat", None, None)
