@@ -265,8 +265,13 @@ def _fluct_entry(prd: Array, tar: Array, inp: Array):
 # (registry_mae.py), not through this (prd, tar) registry.
 LOSSES = {
     "CosineMSE": cosine_mse,
-    "L2Sphere": l2_sphere,
-    "L2Sphere_noSine": l2_sphere_nosine,
+    # the reference's create_loss builds these with relative=True,
+    # squared=True (train.py:436-440) — squared, NOT the constructors'
+    # squared=False default; registry entries mirror the training semantics
+    "L2Sphere": functools.partial(l2_sphere, relative=True, squared=True),
+    "L2Sphere_noSine": functools.partial(
+        l2_sphere_nosine, relative=True, squared=True
+    ),
     "MSE": lambda p, t: jnp.mean((p - t) ** 2),
     "L1": lambda p, t: jnp.mean(jnp.abs(p - t)),
     "SpectralL2Sphere": _spectral_loss_entry(spectral_l2loss_sphere),
