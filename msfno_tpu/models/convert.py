@@ -268,6 +268,85 @@ def convert_sfno_state_dict(
     return {"params": params, "unconverted": report}
 
 
+def convert_afno_state_dict(
+    state: Mapping[str, object],
+    img_size: tuple[int, int] = (720, 1440),
+    patch_size: tuple[int, int] = (8, 8),
+) -> dict:
+    """Reference AFNONet (FourCastNet v1) state_dict -> flax params
+    (reference MSFNO/Models/fourcastnet/afnonet.py:351-480).
+
+    Layout changes: patch-embed conv (D, C, ph, pw) -> Dense kernel over the
+    (p1 p2 c)-flattened patch; pos_embed (1, N, D) -> (gh, gw, D); Linear
+    transposes.  The reference's final `self.norm` is constructed but never
+    applied in forward (afnonet.py:431-441), so its params are dropped —
+    the same dead-key situation as the SFNO checkpoint's "module.norm".
+    PrecipNet's conv maps to precip head params when present.
+    """
+    state = strip_module_prefix({k: _to_numpy(v) for k, v in state.items()})
+    gh = img_size[0] // patch_size[0]
+    gw = img_size[1] // patch_size[1]
+    flat: dict[str, np.ndarray] = {}
+    report: list[str] = []
+    for k, v in state.items():
+        if k in ("norm.weight", "norm.bias"):
+            continue  # dead final norm (never called in forward)
+        if k == "pos_embed":
+            flat["pos_embed"] = np.ascontiguousarray(
+                v[0].reshape(gh, gw, v.shape[-1])
+            )
+            continue
+        if k == "patch_embed.proj.weight":
+            # (D, C, ph, pw) -> ((ph pw C), D) matching the (p1 p2 c) rearrange
+            d = v.shape[0]
+            flat["patch_embed/kernel"] = np.ascontiguousarray(
+                np.transpose(v, (2, 3, 1, 0)).reshape(-1, d)
+            )
+            continue
+        if k == "patch_embed.proj.bias":
+            flat["patch_embed/bias"] = v
+            continue
+        if k == "head.weight":
+            flat["head/kernel"] = _linear_to_dense(v)
+            continue
+        m = re.match(r"^blocks\.(\d+)\.(.*)$", k)
+        if m:
+            i, rest = m.groups()
+            base = f"blocks_{i}"
+            m2 = re.match(r"^norm([12])\.(weight|bias)$", rest)
+            if m2:
+                n, kind = m2.groups()
+                flat[f"{base}/norm{n}/{'scale' if kind == 'weight' else 'bias'}"] = v
+                continue
+            m2 = re.match(r"^filter\.(w1|b1|w2|b2)$", rest)
+            if m2:
+                flat[f"{base}/filter/{m2.group(1)}"] = v
+                continue
+            m2 = re.match(r"^mlp\.fc([12])\.(weight|bias)$", rest)
+            if m2:
+                n, kind = m2.groups()
+                flat[
+                    f"{base}/mlp_fc{n}/{'kernel' if kind == 'weight' else 'bias'}"
+                ] = _linear_to_dense(v) if kind == "weight" else v
+                continue
+            report.append(k)
+            continue
+        # PrecipNet wrapper: ppad has no params; conv -> flax Conv HWIO
+        m = re.match(r"^conv\.(weight|bias)$", k)
+        if m:
+            kind = m.group(1)
+            if kind == "weight":  # (O, I, kh, kw) -> (kh, kw, I, O)
+                flat["conv/kernel"] = np.ascontiguousarray(
+                    np.transpose(v, (2, 3, 1, 0))
+                )
+            else:
+                flat["conv/bias"] = v
+            continue
+        report.append(k)
+    params = traverse_util.unflatten_dict(flat, sep="/")
+    return {"params": params, "unconverted": report}
+
+
 def load_ecmwf_weights_tar(path: str, num_layers: int = 12) -> dict:
     """Load the ECMWF weights.tar / a reference .pkl checkpoint and convert.
 

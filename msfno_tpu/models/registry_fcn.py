@@ -60,6 +60,46 @@ class FCNWrapper(ModelWrapper):
             depth=c.num_layers,
         )
 
+    def load_model(self, checkpoint_file: str | None) -> dict:
+        """Load native .npz checkpoints or reference FourCastNet torch
+        checkpoints (AFNO layout converter, reference
+        fourcastnet/model.py weight loading)."""
+        if checkpoint_file is None:
+            return self.init_params()
+        if checkpoint_file.endswith((".tar", ".pkl", ".pt", ".ckpt")):
+            import logging
+
+            from msfno_tpu.models.convert import convert_afno_state_dict
+            from msfno_tpu.models.torch_reader import (
+                load_torch_checkpoint,
+                state_dict_arrays,
+            )
+            from msfno_tpu.training import checkpoint as ckpt_io
+
+            checkpoint = load_torch_checkpoint(checkpoint_file)
+            weights = (
+                checkpoint.get("model_state", checkpoint)
+                if isinstance(checkpoint, dict)
+                else checkpoint
+            )
+            c = self.cfg
+            result = convert_afno_state_dict(
+                state_dict_arrays(weights),
+                img_size=c.img_size,
+                patch_size=(c.scale_factor, c.scale_factor),
+            )
+            if result["unconverted"]:
+                logging.getLogger("msfno_tpu").warning(
+                    "unconverted afno keys: %s", result["unconverted"][:10]
+                )
+            if self.params is None:
+                self.init_params()
+            self.params = ckpt_io.merge_film_checkpoint(
+                self.params, result["params"]
+            )
+            return self.params
+        return super().load_model(checkpoint_file)
+
     @classmethod
     def for_version(cls, version: str, cfg: SFNOConfig | None = None, **kw):
         if version in ("0", "release"):

@@ -80,8 +80,41 @@ def install_stubs() -> None:
     _module("climetlab.utils.humanize", seconds=lambda s: f"{s}s")
     cml.utils = cml_utils
 
+    # timm: the reference afnonet imports DropPath/trunc_normal_ only
+    import torch
+
+    class _DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+            return x / keep * mask
+
+    timm = _module("timm")
+    timm_models = _module("timm.models")
+    _module(
+        "timm.models.layers",
+        DropPath=_DropPath,
+        trunc_normal_=torch.nn.init.trunc_normal_,
+    )
+    timm.models = timm_models
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def import_reference_afnonet():
+    """Import the reference AFNONet module (installing stubs first)."""
+    install_stubs()
+    import importlib
+
+    return importlib.import_module("MSFNO.Models.fourcastnet.afnonet")
 
 
 def import_reference_sfnonet():
