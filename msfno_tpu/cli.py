@@ -333,6 +333,7 @@ def build_loaders(args, model_cfg, train_cfg):
         temporal_step=film.temporal_step if film else 28,
         with_sst=with_sst,
         past_sst=args.past_sst,
+        dataset_start_year=args.dataset_start_year,
     )
     tr_s, tr_e = year_window(args.trainingset_start_year, args.trainingset_end_year)
     va_s, va_e = year_window(

@@ -63,6 +63,15 @@ def year_range_indices(dataset_start_year: int, start_year: int, end_year: int):
     return start_idx, end_idx
 
 
+def index_to_yyyymmddhh(dataset_start_year: int, idx: int) -> int:
+    """6h-step index -> YYYYMMDDHH int, the reference's time format
+    (data.py:162-163)."""
+    from datetime import datetime, timedelta
+
+    t = datetime(dataset_start_year, 1, 1) + timedelta(hours=6 * idx)
+    return t.year * 1000000 + t.month * 10000 + t.day * 100 + t.hour
+
+
 def assemble_channels(
     scf: np.ndarray,
     u100: np.ndarray,
@@ -195,6 +204,9 @@ class ERA5Dataset:
     past_sst: bool = False
     start_idx: int = 0
     end_idx: int | None = None
+    # when set, per-step times are YYYYMMDDHH ints derived from the 6h index
+    # (reference format(), data.py:162-163: int(YYYY+MM+DD+HH))
+    dataset_start_year: int | None = None
 
     def __post_init__(self):
         n = len(self.backend)
@@ -235,7 +247,16 @@ class ERA5Dataset:
                 windows.append(np.stack(w))
             else:
                 sst = np.stack(windows)
-        times = np.zeros(s, dtype=np.int64)
+        if self.dataset_start_year is not None:
+            times = np.asarray(
+                [
+                    index_to_yyyymmddhh(self.dataset_start_year, base + i)
+                    for i in range(s)
+                ],
+                dtype=np.int64,
+            )
+        else:
+            times = np.zeros(s, dtype=np.int64)
         return era5, sst, times
 
 

@@ -196,3 +196,20 @@ class TestZarrLevelOrder:
         assert levels == sorted(levels) and levels[0] == 50 and levels[-1] == 1000
         # the u-block of ORDERING runs u50..u1000 in this exact order
         assert [f"u{l}" for l in levels] == list(ORDERING[8:21])
+
+
+class TestTimes:
+    def test_yyyymmddhh(self):
+        from msfno_tpu.data.era5 import index_to_yyyymmddhh
+
+        assert index_to_yyyymmddhh(1979, 0) == 1979010100
+        assert index_to_yyyymmddhh(1979, 1) == 1979010106
+        assert index_to_yyyymmddhh(1979, 4) == 1979010200
+        # leap day: 1980 is a leap year; (31+28)*4 steps reach Feb 29
+        assert index_to_yyyymmddhh(1980, (31 + 28) * 4) == 1980022900
+
+    def test_dataset_emits_times(self):
+        ds = ERA5Dataset(_IdxBackend(40), multi_step=1, temporal_step=2,
+                         dataset_start_year=2000)
+        _, _, times = ds[0]
+        assert times[0] == 2000010100 and times[1] == 2000010106
