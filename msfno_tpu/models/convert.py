@@ -213,9 +213,11 @@ def convert_sfno_state_dict(
             m2 = re.match(r"^norm([01])\.(weight|bias)$", rest)
             if m2:
                 n, kind = m2.groups()
+                # instance_norm affine is (C,); layer_norm affine is the
+                # reference's (H, W) -> channels-last broadcast (H, W, 1)
                 put(
                     f"{base}/norm{n}/{'scale' if kind == 'weight' else 'bias'}",
-                    v,
+                    v if v.ndim == 1 else v[..., None],
                 )
                 continue
             m2 = re.match(r"^filter_layer\.filter\.w\.(\d+)$", rest)
@@ -345,6 +347,143 @@ def convert_afno_state_dict(
         report.append(k)
     params = traverse_util.unflatten_dict(flat, sep="/")
     return {"params": params, "unconverted": report}
+
+
+def export_sfno_state_dict(params: Mapping) -> dict[str, np.ndarray]:
+    """Inverse of convert_sfno_state_dict: flax param tree -> reference
+    torch state_dict names/layouts, so checkpoints trained here load into the
+    reference codebase (load with strict=False there — transform buffers
+    ii/jj and the dead ComplexReLU bias are intentionally not emitted).
+
+    Covers the backbone, the ViT ("transformer") film generator and the MAE
+    film head; GCN generators have no reference-compatible geometry.
+    """
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out: dict[str, np.ndarray] = {}
+
+    def dense_to_conv1x1(w):
+        return np.ascontiguousarray(w.T)[..., None, None]
+
+    def dense_to_linear(w):
+        return np.ascontiguousarray(np.asarray(w).T)
+
+    for k, v in flat.items():
+        v = np.asarray(v)
+        parts = k.split("/")
+        if k == "pos_embed":
+            out["pos_embed"] = np.ascontiguousarray(
+                np.transpose(v, (2, 0, 1))
+            )[None]
+            continue
+        if parts[0] in ("encoder", "decoder") and len(parts) == 3:
+            idx = "0" if parts[1] == "fc1" else "2"
+            kind = parts[2]
+            name = f"{parts[0]}.fwd.{idx}.{'weight' if kind == 'kernel' else 'bias'}"
+            out[name] = dense_to_conv1x1(v) if kind == "kernel" else v
+            continue
+        m = re.match(r"^blocks_(\d+)$", parts[0])
+        if m:
+            i, rest = m.group(1), parts[1:]
+            base = f"blocks.{i}"
+            if rest[0] in ("norm0", "norm1"):
+                kind = "weight" if rest[1] == "scale" else "bias"
+                w = v[..., 0] if v.ndim == 3 else v  # (H,W,1) -> (H,W)
+                out[f"{base}.{rest[0]}.{kind}"] = w
+                continue
+            if rest[0] == "filter":
+                if rest[1] == "w":  # (K, in, out, 2) -> (out, in, K, 2)
+                    out[f"{base}.filter_layer.filter.w"] = np.ascontiguousarray(
+                        np.transpose(v, (2, 1, 0, 3))
+                    )
+                elif rest[1] == "wout":
+                    out[f"{base}.filter_layer.filter.wout"] = v
+                elif re.match(r"^w\d+$", rest[1]):
+                    out[f"{base}.filter_layer.filter.w.{rest[1][1:]}"] = v
+                else:  # tt factors w0/w1/w2 handled above; anything else kept
+                    out[f"{base}.filter_layer.filter.{rest[1]}"] = v
+                continue
+            if rest[0] in ("inner_skip", "outer_skip"):
+                kind = rest[1]
+                out[f"{base}.{rest[0]}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                    dense_to_conv1x1(v) if kind == "kernel" else v
+                )
+                continue
+            if rest[0] == "mlp":
+                idx = "0" if rest[1] == "fc1" else "2"
+                kind = rest[2]
+                out[f"{base}.mlp.fwd.{idx}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                    dense_to_conv1x1(v) if kind == "kernel" else v
+                )
+                continue
+        if parts[0] == "film_gen":
+            name = _export_film_key(parts[1:], v, dense_to_linear)
+            if name is not None:
+                out[name[0]] = name[1]
+            continue
+    return out
+
+
+def _export_film_key(parts, v, dense_to_linear):
+    """flax film param path -> reference state_dict entry (ViT + MAE head)."""
+    if parts[0] == "film_head":  # MAE head FeedForward
+        sub, kind = parts[1], parts[2]
+        idx = {"norm": "0", "fc1": "1", "fc2": "4"}[sub]
+        name = f"film_gen.film_head.net.{idx}." + (
+            "weight" if kind in ("kernel", "scale") else "bias"
+        )
+        return name, dense_to_linear(v) if kind == "kernel" else v
+    if parts[0] != "film_gen":
+        return None
+    g = parts[1:]
+    base = "film_gen.film_gen"
+    if g[0].startswith("patch_norm"):
+        n = g[0][-1]
+        kind = "weight" if g[1] == "scale" else "bias"
+        return f"{base}.to_patch_embedding.norm{n}.{kind}", v
+    if g[0] == "patch_proj":
+        kind = "weight" if g[1] == "kernel" else "bias"
+        return (
+            f"{base}.to_patch_embedding.lin.{kind}",
+            dense_to_linear(v) if g[1] == "kernel" else v,
+        )
+    if g[0] == "encoder_position_code":
+        return f"{base}.encoder_position_code", v[None]
+    if g[0] == "head_film":
+        kind = "weight" if g[1] == "kernel" else "bias"
+        return (
+            f"{base}.head_film.{kind}",
+            dense_to_linear(v) if g[1] == "kernel" else v,
+        )
+    if g[0] == "transformer":
+        if g[1] == "norm":
+            kind = "weight" if g[2] == "scale" else "bias"
+            return f"{base}.transformer.norm.{kind}", v
+        m = re.match(r"^(attn|ff)_(\d+)$", g[1])
+        if m:
+            sub, i = m.groups()
+            if sub == "attn":
+                if g[2] == "norm":
+                    kind = "weight" if g[3] == "scale" else "bias"
+                    return f"{base}.transformer.layers.{i}.0.norm.{kind}", v
+                if g[2] == "to_qkv":
+                    return (
+                        f"{base}.transformer.layers.{i}.0.to_qkv.weight",
+                        dense_to_linear(v),
+                    )
+                if g[2] == "to_out":
+                    kind = "weight" if g[3] == "kernel" else "bias"
+                    return (
+                        f"{base}.transformer.layers.{i}.0.to_out.0.{kind}",
+                        dense_to_linear(v) if g[3] == "kernel" else v,
+                    )
+            else:
+                idx = {"norm": "0", "fc1": "1", "fc2": "4"}[g[2]]
+                kind = "weight" if g[3] in ("kernel", "scale") else "bias"
+                return (
+                    f"{base}.transformer.layers.{i}.1.net.{idx}.{kind}",
+                    dense_to_linear(v) if g[3] == "kernel" else v,
+                )
+    return None
 
 
 def load_ecmwf_weights_tar(path: str, num_layers: int = 12) -> dict:

@@ -303,3 +303,125 @@ class TestFilmedParity:
         }
         res = convert_sfno_state_dict(fake, num_layers=3)
         assert res["unconverted"] == ["film_gen.film_gen.gcs.0.weight"]
+
+
+class TestLayerNormParity:
+    def test_layer_norm_variant(self):
+        """normalization_layer='layer_norm': the reference normalizes over
+        the spatial dims with an (H, W) affine (sfnonet.py:483-491)."""
+        net = _build_reference(normalization_layer="layer_norm")
+        sd = _randomize(net, seed=3)
+        _compare(net, sd, _my_cfg(normalization_layer="layer_norm"))
+
+
+class TestExportRoundTrip:
+    """Reverse converter: params trained here load back into the REFERENCE
+    code (export_sfno_state_dict) with forward parity."""
+
+    def test_backbone_roundtrip(self):
+        from msfno_tpu.models.convert import export_sfno_state_dict
+
+        cfg = _my_cfg()
+        model = MyNet(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, *IMG, cfg.in_chans))
+        )["params"]
+        sd = {k: torch.from_numpy(np.asarray(v).copy())
+              for k, v in export_sfno_state_dict(params).items()}
+        net = _build_reference()
+        missing, unexpected = net.load_state_dict(sd, strict=False)
+        assert unexpected == [], unexpected
+        # only buffers may be missing (ii/jj, dead activation bias)
+        param_names = {k for k, _ in net.named_parameters()}
+        assert not (set(missing) & param_names), set(missing) & param_names
+        net.eval()
+        g = torch.Generator().manual_seed(21)
+        x = torch.randn(2, cfg.in_chans, *IMG, generator=g)
+        with torch.no_grad():
+            ref_out = net(x).numpy()
+        my_out = np.asarray(
+            jax.jit(model.apply)(
+                {"params": params}, jnp.asarray(np.moveaxis(x.numpy(), 1, -1))
+            )
+        )
+        rel = np.linalg.norm(ref_out - np.moveaxis(my_out, -1, 1)) / (
+            np.linalg.norm(ref_out)
+        )
+        assert rel < REL_L2_GATE, rel
+
+    def test_filmed_vit_roundtrip(self):
+        """Filmed params (incl. the ViT film generator) exported to reference
+        names, loaded into the reference filmed net, forward parity."""
+        from msfno_tpu.models.convert import export_sfno_state_dict
+        from msfno_tpu.models.sfno.sfnonet import (
+            FourierNeuralOperatorNetFilmed as MyFilmed,
+        )
+        from msfno_tpu.utils.config import FilmConfig
+
+        cfg = SFNOConfig(
+            img_size=IMG, scale_factor=2, in_chans=4, out_chans=4,
+            embed_dim=256, num_layers=3, spectral_layers=2,
+            film=FilmConfig(
+                film_gen_type="transformer", film_layers=1, model_depth=2,
+                embed_dim=64, mlp_dim=64, temporal_step=28,
+                patch_size=(28, 9, 9), num_film_features=256,
+                sst_shape=(180, 360),
+            ),
+        )
+        model = MyFilmed(cfg)
+        g = torch.Generator().manual_seed(31)
+        sst = torch.randn(1, 28, 180, 360, generator=g)
+        sst[:, :, :40, :100] = float("nan")
+        x = torch.randn(1, 4, *IMG, generator=g)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, *IMG, 4)),
+            jnp.asarray(sst.numpy()),
+        )["params"]
+        # perturb the zero-init film head so modulation is non-trivial
+        params["film_gen"]["film_gen"]["head_film"]["kernel"] = (
+            0.05 * jax.random.normal(
+                jax.random.PRNGKey(3),
+                params["film_gen"]["film_gen"]["head_film"]["kernel"].shape,
+            )
+        )
+        sd = {k: torch.from_numpy(np.asarray(v).copy())
+              for k, v in export_sfno_state_dict(params).items()}
+
+        sfnonet = import_reference_sfnonet()
+        rcfg = types.SimpleNamespace(
+            repeat_film=False, film_gen_type="transformer",
+            patch_size=(28, 9, 9), embed_dim=64, mlp_dim=64,
+            nan_mask_threshold=0.5, dropout=0.0, temporal_step=28, cls=None,
+            batch_size=1, scale_weight=1.0, film_layers=1, model_depth=2,
+        )
+        net = sfnonet.FourierNeuralOperatorNet_Filmed(
+            "cpu", rcfg, img_size=IMG, scale_factor=2, in_chans=4,
+            out_chans=4, embed_dim_sfno=256, num_layers=3, spectral_layers=2,
+            batch_size=1, advanced_logging=False, film_layers=1, model_depth=2,
+        )
+        missing, unexpected = net.load_state_dict(sd, strict=False)
+        assert unexpected == [], unexpected
+        param_names = {k for k, _ in net.named_parameters()}
+        # cls_token/decoder_position_code are dead reference params we never
+        # carry; everything else must be covered
+        dead = {
+            k for k in param_names
+            if "cls_token" in k or "decoder_position_code" in k
+        }
+        assert not (set(missing) & (param_names - dead))
+        net.eval()
+        with torch.no_grad():
+            ref_out = net(x, sst, 0.6).numpy()
+        my_out = np.asarray(
+            jax.jit(model.apply)(
+                {"params": params},
+                jnp.asarray(np.moveaxis(x.numpy(), 1, -1)),
+                jnp.asarray(sst.numpy()),
+                0.6,
+            )
+        )
+        rel = np.linalg.norm(ref_out - np.moveaxis(my_out, -1, 1)) / (
+            np.linalg.norm(ref_out)
+        )
+        assert rel < REL_L2_GATE, rel
