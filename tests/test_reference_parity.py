@@ -425,3 +425,50 @@ class TestExportRoundTrip:
             np.linalg.norm(ref_out)
         )
         assert rel < REL_L2_GATE, rel
+
+
+class TestTrainerLossParity:
+    def test_multistep_rollout_loss(self):
+        """Trainer._rollout_loss == the reference's loss assembly
+        (train.py:156-163): sum over supervised steps of
+        L2Sphere_noSine(relative, squared)/(ms+1)*discount^step with step
+        skipping, on identical weights via the converter."""
+        from msfno_tpu.training.trainer import Trainer
+        from msfno_tpu.utils.config import TrainConfig
+
+        net = _build_reference()  # installs the reference import stubs
+        from MSFNO.Models import losses as ref_losses
+        sd = _randomize(net, seed=5)
+        res = convert_sfno_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, num_layers=3
+        )
+        cfg = _my_cfg()
+        ms, skip, disc = 3, 1, 0.9
+        tcfg = TrainConfig(
+            multi_step_training=ms, training_step_skip=skip,
+            discount_factor=disc, loss_fn="L2Sphere_noSine",
+        )
+        trainer = Trainer(cfg, tcfg)
+        g = torch.Generator().manual_seed(41)
+        era5_t = torch.randn(ms + 2, 2, 4, *IMG, generator=g)
+
+        # reference loss assembly with the reference net
+        net.eval()
+        loss_fn = ref_losses.L2Sphere_noSine(
+            relative=True, squared=True, reduction="mean"
+        )
+        with torch.no_grad():
+            inp = era5_t[0]
+            ref_loss = 0.0
+            for step in range(ms + 1):
+                out = net(inp)
+                if step % (skip + 1) == 0:
+                    ref_loss += (
+                        float(loss_fn(out, era5_t[step + 1]))
+                        / (ms + 1) * disc**step
+                    )
+                inp = out
+
+        era5_j = jnp.asarray(np.moveaxis(era5_t.numpy(), 2, -1))
+        my_loss, _ = trainer._rollout_loss(res["params"], era5_j, None, 1.0)
+        np.testing.assert_allclose(float(my_loss), ref_loss, rtol=1e-3)
