@@ -259,6 +259,64 @@ class ERA5Dataset:
             times = np.zeros(s, dtype=np.int64)
         return era5, sst, times
 
+    def get_batch(self, idcs: Sequence[int]):
+        """Assemble a whole batch in bulk: one backend batch-read for all
+        B*S era5 states and one for the UNIQUE SST timesteps (windows of
+        adjacent steps overlap almost completely), exploiting the native C++
+        reader's single-call thread pool when the backend provides
+        era5_batch/sst_batch.  Returns a Batch with era5 (S, B, H, W, C)."""
+        from msfno_tpu.data.synthetic import Batch
+
+        s = self.multi_step + 2
+        bases = [self.start_idx + int(i) + self._pad_past for i in idcs]
+        flat = [b + j for b in bases for j in range(s)]  # (B*S) order
+        if hasattr(self.backend, "era5_batch"):
+            era5_bs = self.backend.era5_batch(flat)
+        else:
+            era5_bs = np.stack([self.backend.era5(i) for i in flat])
+        era5 = np.ascontiguousarray(
+            era5_bs.reshape(len(bases), s, *era5_bs.shape[1:]).swapaxes(0, 1)
+        )
+        sst = None
+        if self.with_sst and getattr(self.backend, "has_sst", True):
+            t = self.temporal_step
+            needed = sorted(
+                {
+                    self._sst_window_start(b, j) + k
+                    for b in bases
+                    for j in range(s)
+                    for k in range(t)
+                }
+            )
+            if hasattr(self.backend, "sst_batch"):
+                loaded = self.backend.sst_batch(needed)
+            else:
+                fields = [self.backend.sst(i) for i in needed]
+                loaded = np.stack(fields) if fields[0] is not None else None
+            if loaded is not None:
+                pos = {idx: n for n, idx in enumerate(needed)}
+                gather = np.asarray(
+                    [
+                        [
+                            [pos[self._sst_window_start(b, j) + k] for k in range(t)]
+                            for b in bases
+                        ]
+                        for j in range(s)
+                    ]
+                )
+                sst = loaded[gather]  # (S, B, T, Hs, Ws)
+        if self.dataset_start_year is not None:
+            times = np.asarray(
+                [
+                    [index_to_yyyymmddhh(self.dataset_start_year, b + j) for b in bases]
+                    for j in range(s)
+                ],
+                dtype=np.int64,
+            )
+        else:
+            times = np.zeros((s, len(bases)), dtype=np.int64)
+        return Batch(era5=era5, sst=sst, times=times)
+
 
 class PrefetchLoader:
     """Threaded batch loader (replaces the reference's torch DataLoader CPU
@@ -295,8 +353,12 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def make_batch(b: int) -> Batch:
-            items = [self.dataset[int(order[b * self.batch_size + j])]
-                     for j in range(self.batch_size)]
+            idcs = [int(order[b * self.batch_size + j])
+                    for j in range(self.batch_size)]
+            if hasattr(self.dataset, "get_batch"):
+                # bulk path: one (native) batch read for era5 + deduped SST
+                return self.dataset.get_batch(idcs)
+            items = [self.dataset[i] for i in idcs]
             era5 = np.stack([it[0] for it in items], axis=1)  # (S, B, H, W, C)
             sst = None
             if items[0][1] is not None:

@@ -151,3 +151,9 @@ class NativeNpyBackend:
             return None
         return load_npy_batch([self._path("sst", idx)], self.sst_shape,
                               self.n_threads)[0]
+
+    def sst_batch(self, idcs: list[int]) -> np.ndarray | None:
+        if not self.has_sst:
+            return None
+        return load_npy_batch([self._path("sst", i) for i in idcs],
+                              self.sst_shape, self.n_threads)

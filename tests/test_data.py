@@ -213,3 +213,36 @@ class TestTimes:
                          dataset_start_year=2000)
         _, _, times = ds[0]
         assert times[0] == 2000010100 and times[1] == 2000010106
+
+
+class TestBulkBatchAssembly:
+    @pytest.mark.parametrize("past", [False, True])
+    def test_get_batch_matches_items(self, npy_store, past):
+        """Bulk get_batch (deduped SST reads) == item-by-item assembly."""
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=1, temporal_step=2,
+                         past_sst=past, dataset_start_year=2000)
+        idcs = [0, min(2, len(ds) - 1)]
+        batch = ds.get_batch(idcs)
+        for col, i in enumerate(idcs):
+            era5, sst, times = ds[i]
+            np.testing.assert_array_equal(batch.era5[:, col], era5)
+            np.testing.assert_array_equal(batch.sst[:, col], sst)
+            np.testing.assert_array_equal(batch.times[:, col], times)
+
+    def test_native_backend_bulk(self, npy_store):
+        ds_py = ERA5Dataset(NpyBackend(npy_store), multi_step=0,
+                            temporal_step=2)
+        ds_nat = ERA5Dataset(NativeNpyBackend(npy_store), multi_step=0,
+                             temporal_step=2)
+        a = ds_py.get_batch([0, 1])
+        b = ds_nat.get_batch([0, 1])
+        np.testing.assert_allclose(a.era5, b.era5, rtol=1e-6)
+        np.testing.assert_allclose(a.sst, b.sst, rtol=1e-6)
+
+    def test_prefetch_uses_bulk(self, npy_store):
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        loader = PrefetchLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+        batches = list(loader.epoch(0))
+        era5, sst, _ = ds[0]
+        np.testing.assert_array_equal(batches[0].era5[:, 0], era5)
+        np.testing.assert_array_equal(batches[0].sst[:, 0], sst)
