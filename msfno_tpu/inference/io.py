@@ -137,19 +137,62 @@ class FileOutput:
             json.dump(self.manifest, f)
 
 
-class NetCDFOutput(FileOutput):
-    """netCDF writer; delegates to the npy layout when netCDF4/xarray are
-    unavailable (reference NetCDFOutput, outputs/__init__.py:74-189)."""
+class NetCDFOutput:
+    """Real NetCDF3 writer via scipy.io.netcdf_file — one .nc per step, the
+    reference's layout (NetCDFOutput, outputs/__init__.py:74-189: per-step
+    files under a subdirectory, combined later with open_mfdataset; per
+    retained variable a (lat, lon) field plus latitude/longitude/step
+    coordinates; step stored in hours)."""
 
-    def __init__(self, owner=None, path: str = "./forecast.nc", **kw):
-        try:  # pragma: no cover
-            import xarray  # noqa: F401
+    def __init__(self, owner=None, path: str = "./forecast",
+                 variables: Sequence[str] | None = None,
+                 ordering: Sequence[str] | None = None,
+                 lat: np.ndarray | None = None,
+                 lon: np.ndarray | None = None, **kw):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.ordering = list(ordering) if ordering else None
+        if variables is not None and self.ordering is not None:
+            self.keep = [self.ordering.index(v) for v in variables]
+            self.kept_names = list(variables)
+        else:
+            self.keep = None
+            self.kept_names = self.ordering
+        self.lat = lat
+        self.lon = lon
 
-            self._have_xr = True
-        except ImportError:
-            self._have_xr = False
-            log.warning("xarray unavailable; NetCDFOutput writing npy layout")
-        super().__init__(owner, path=os.path.splitext(path)[0], **kw)
+    def write(self, data: np.ndarray, step: int = 0, **kw):
+        from scipy.io import netcdf_file
+
+        field = np.asarray(data)
+        if field.ndim == 4:  # (B, H, W, C) -> first sample
+            field = field[0]
+        h, w, c = field.shape
+        if self.keep is not None:
+            field = field[..., self.keep]
+        names = self.kept_names or [f"var{i}" for i in range(field.shape[-1])]
+        lat = self.lat if self.lat is not None else np.linspace(90, -90, h)
+        lon = self.lon if self.lon is not None else np.linspace(
+            0, 360, w, endpoint=False
+        )
+        out = os.path.join(self.path, f"step_{step:04d}.nc")
+        with netcdf_file(out, "w") as nc:
+            nc.createDimension("latitude", h)
+            nc.createDimension("longitude", w)
+            nc.createDimension("step", 1)
+            vlat = nc.createVariable("latitude", "f", ("latitude",))
+            vlat[:] = lat.astype(np.float32)
+            vlat.units = "degrees_north"
+            vlon = nc.createVariable("longitude", "f", ("longitude",))
+            vlon[:] = lon.astype(np.float32)
+            vlon.units = "degrees_east"
+            vstep = nc.createVariable("step", "i", ("step",))
+            vstep[:] = np.asarray([step], np.int32)
+            vstep.units = "hours"
+            for i, name in enumerate(names):
+                v = nc.createVariable(name, "f", ("step", "latitude", "longitude"))
+                v[:] = field[None, :, :, i].astype(np.float32)
+        return out
 
 
 class HindcastReLabel:

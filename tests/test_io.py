@@ -98,3 +98,40 @@ class TestClimatology:
         # Feb 29 (doy 366 would overflow) maps within bounds
         v = climatology_at(clim, 366, 18)
         assert v.shape == (1, 1, 1)
+
+
+class TestNetCDFOutput:
+    def test_writes_real_netcdf(self, tmp_path):
+        """Real NetCDF3 files readable by an independent reader
+        (scipy.io.netcdf_file round-trip)."""
+        from scipy.io import netcdf_file
+
+        from msfno_tpu.inference.io import NetCDFOutput
+
+        out = NetCDFOutput(
+            path=str(tmp_path / "fc"),
+            ordering=["t2m", "u10", "v10"],
+            variables=["t2m", "v10"],
+        )
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((1, 8, 16, 3)).astype(np.float32)
+        path = out.write(data, step=6)
+        with netcdf_file(path, "r") as nc:
+            assert set(nc.variables) == {
+                "latitude", "longitude", "step", "t2m", "v10"
+            }
+            assert nc.variables["step"][0] == 6
+            np.testing.assert_allclose(
+                nc.variables["t2m"][0], data[0, :, :, 0], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                nc.variables["v10"][0], data[0, :, :, 2], rtol=1e-6
+            )
+            assert nc.variables["latitude"][0] == 90.0
+
+    def test_registry_roundtrip(self, tmp_path):
+        from msfno_tpu.inference.io import get_output
+
+        o = get_output("netcdf", path=str(tmp_path / "nc"))
+        p = o.write(np.zeros((4, 8, 2), np.float32), step=12)
+        assert p.endswith("step_0012.nc") and os.path.exists(p)
