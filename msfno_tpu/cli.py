@@ -70,7 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--lead-time", type=int, default=24, help="hours")
     run.add_argument("--date", default=None, help="YYYYMMDD initial condition")
     run.add_argument("--time", type=int, default=0)
-    run.add_argument("--output", default="npz", choices=["npz", "none"])
+    run.add_argument("--output", default="npz",
+                     choices=["npz", "file", "netcdf", "none"])
+    run.add_argument("--output-variables", default=None,
+                     help="JSON list of variables to write "
+                          "(reference output-variables.json)")
 
     tr = p.add_argument_group("Training Parameters")
     tr.add_argument("--learning-rate", type=float, default=5e-4)
@@ -663,9 +667,22 @@ def main(argv=None) -> int:
                     steps, 1, f.temporal_step, *f.sst_shape
                 ).astype(np.float32)
                 sst_seq[..., synthetic_land_mask(*f.sst_shape)] = np.nan
+        writer = None
+        if args.output in ("file", "netcdf"):
+            from msfno_tpu.inference.io import get_output
+
+            variables = None
+            if args.output_variables:
+                variables = json.loads(open(args.output_variables).read())
+            writer = get_output(
+                args.output,
+                path=os.path.join(args.output_path, "forecast"),
+                ordering=list(getattr(wrapper, "ordering", [])) or None,
+                variables=variables,
+            )
         outs = []
         for field in wrapper.running(x0, lead_time_h=args.lead_time,
-                                     sst_seq=sst_seq):
+                                     sst_seq=sst_seq, output=writer):
             outs.append(field)
         if args.output == "npz":
             out_file = os.path.join(args.output_path, "forecast.npz")

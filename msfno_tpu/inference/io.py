@@ -170,7 +170,9 @@ class NetCDFOutput:
         h, w, c = field.shape
         if self.keep is not None:
             field = field[..., self.keep]
-        names = self.kept_names or [f"var{i}" for i in range(field.shape[-1])]
+        names = (self.kept_names or [f"var{i}" for i in range(field.shape[-1])])
+        names = names[: field.shape[-1]]  # ordering may exceed the channels
+        # of a reduced-size model; write what exists
         lat = self.lat if self.lat is not None else np.linspace(90, -90, h)
         lon = self.lon if self.lon is not None else np.linspace(
             0, 360, w, endpoint=False

@@ -332,3 +332,16 @@ def test_mae_pretrain_action(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "checkpoint_mae_final.npz").exists()
+
+
+def test_run_netcdf_output(tmp_path):
+    """--run --output netcdf writes per-step real NetCDF files."""
+    rc = main(TINY + ["--run", "--lead-time", "12", "--output", "netcdf",
+                      "--output-path", str(tmp_path)])
+    assert rc == 0
+    files = sorted((tmp_path / "forecast").glob("*.nc"))
+    assert len(files) == 2
+    from scipy.io import netcdf_file
+
+    with netcdf_file(str(files[0]), "r") as nc:
+        assert "latitude" in nc.variables and int(nc.variables["step"][0]) == 6
