@@ -704,14 +704,19 @@ def main(argv=None) -> int:
         return 0
 
     if args.save_data:
-        from msfno_tpu.data.synthetic import synthetic_loader
-
         trainer = wrapper.trainer(train_cfg)
-        out = trainer.save_data(
-            synthetic_loader(
+        train_loader, _ = build_loaders(args, model_cfg, train_cfg)
+        if train_loader is not None:
+            it = train_loader.epoch(0)
+        else:
+            from msfno_tpu.data.synthetic import synthetic_loader
+
+            it = synthetic_loader(
                 model_cfg, train_cfg.batch_size, train_cfg.multi_step_training,
                 args.num_iterations,
-            ),
+            )
+        out = trainer.save_data(
+            it,
             os.path.join(args.output_path, "data"),
             num_batches=args.num_iterations,
         )

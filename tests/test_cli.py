@@ -345,3 +345,15 @@ def test_run_netcdf_output(tmp_path):
 
     with netcdf_file(str(files[0]), "r") as nc:
         assert "latitude" in nc.variables and int(nc.variables["step"][0]) == 6
+
+
+def test_save_data_real_store(tmp_path, cli_store):
+    rc = main(TINY_REAL + ["--save-data", "--era5-path", cli_store,
+                           "--num-iterations", "2",
+                           "--output-path", str(tmp_path)])
+    assert rc == 0
+    files = sorted((tmp_path / "data").glob("batch_*.npz"))
+    assert len(files) == 2
+    d = np.load(files[0])
+    # non-filmed model: SST intentionally not loaded (with_sst=False)
+    assert d["era5"].shape[-1] == 3 and "sst" not in d
