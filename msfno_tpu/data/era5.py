@@ -325,7 +325,12 @@ class PrefetchLoader:
 
     def __init__(self, dataset: ERA5Dataset, batch_size: int = 1,
                  shuffle: bool = False, seed: int = 0, num_workers: int = 2,
-                 prefetch: int = 2, drop_last: bool = True):
+                 prefetch: int = 2, drop_last: bool = True,
+                 shard_id: int | None = None, num_shards: int | None = None):
+        """shard_id/num_shards: multi-host data sharding — each host reads a
+        disjoint, per-epoch-reshuffled subset (the reference's
+        DistributedSampler, train.py:513-515).  Default to this process's
+        position in the jax cluster; pass 0/1 to disable."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -333,17 +338,32 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        if num_shards is None:
+            import jax
+
+            try:
+                shard_id = jax.process_index()
+                num_shards = jax.process_count()
+            except RuntimeError:  # backend not initialized
+                shard_id, num_shards = 0, 1
+        self.shard_id = shard_id or 0
+        self.num_shards = max(num_shards or 1, 1)
 
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        return n if self.drop_last else -(-len(self.dataset) // self.batch_size)
+        n = len(self.dataset) // self.num_shards
+        nb = n // self.batch_size
+        return nb if self.drop_last else -(-n // self.batch_size)
 
     def _order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             # per-epoch deterministic reshuffle (sampler.set_epoch analogue,
-            # train.py:303-304)
+            # train.py:303-304); same permutation on every host, then each
+            # host takes a strided disjoint subset (DistributedSampler)
             np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.num_shards > 1:
+            per = len(idx) // self.num_shards
+            idx = idx[self.shard_id::self.num_shards][:per]
         return idx
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:

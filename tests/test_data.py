@@ -246,3 +246,23 @@ class TestBulkBatchAssembly:
         era5, sst, _ = ds[0]
         np.testing.assert_array_equal(batches[0].era5[:, 0], era5)
         np.testing.assert_array_equal(batches[0].sst[:, 0], sst)
+
+
+class TestShardedLoader:
+    def test_disjoint_shards_cover_dataset(self, npy_store):
+        """Multi-host sharding: same epoch permutation on every host, each
+        host a disjoint subset (DistributedSampler semantics)."""
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        orders = []
+        for shard in range(2):
+            loader = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=3,
+                                    shard_id=shard, num_shards=2)
+            orders.append(list(loader._order(epoch=1)))
+        assert not (set(orders[0]) & set(orders[1]))
+        assert len(orders[0]) == len(orders[1]) == len(ds) // 2
+
+    def test_epoch_reshuffle_differs(self, npy_store):
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=3,
+                                shard_id=0, num_shards=1)
+        assert list(loader._order(0)) != list(loader._order(1))
