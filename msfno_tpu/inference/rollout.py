@@ -33,6 +33,24 @@ class RolloutConfig:
     denormalize: bool = True
 
 
+def serving_params(params, dtype=jnp.bfloat16):
+    """Cast fp32 param leaves to `dtype` for bf16-compute serving.
+
+    In the fast inference config every consumer already casts its operands to
+    bfloat16 at the MXU (compute_dtype / *_mxu_dtype knobs), so storing the
+    parameters in bfloat16 is numerically near-identical while halving the
+    per-step HBM parameter traffic — the (721, 1440, 256) pos_embed alone is
+    1.06 GB in fp32, read every step.  Use only with the bf16 fast config;
+    the fp32 parity path must keep fp32 parameters.
+    """
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if isinstance(a, (jax.Array, np.ndarray)) and a.dtype == jnp.float32
+        else a,
+        params,
+    )
+
+
 def make_step_fn(model, params, filmed: bool, scale: float = 1.0) -> Callable:
     """One normalized-space 6h step: state -> next state.
 

@@ -45,6 +45,30 @@ class TestSpectralMlpKernel:
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
 
+    def test_packed_matches_4dot(self):
+        """The packed double-width kernel and the original 4-dot kernel are
+        numerically identical (same fp32 accumulation order per output)."""
+        import msfno_tpu.ops.pallas.spectral_mlp as sm
+
+        key = jax.random.PRNGKey(7)
+        c, h, n = 32, 64, 100
+        ws = _weights(key, [c, h, h, c])
+        coeffs = jax.lax.complex(
+            jax.random.normal(key, (1, n, 1, c)),
+            jax.random.normal(jax.random.fold_in(key, 1), (1, n, 1, c)),
+        )
+        old = sm.PACKED
+        try:
+            sm.PACKED = True
+            out_packed = spectral_mlp(coeffs, ws, interpret=True)
+            sm.PACKED = False
+            out_4dot = spectral_mlp(coeffs, ws, interpret=True)
+        finally:
+            sm.PACKED = old
+        np.testing.assert_allclose(
+            np.asarray(out_packed), np.asarray(out_4dot), rtol=1e-5, atol=1e-5
+        )
+
     def test_gradient_matches_reference(self):
         key = jax.random.PRNGKey(1)
         c, h, n = 16, 32, 64

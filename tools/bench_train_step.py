@@ -13,7 +13,9 @@ import time
 import numpy as np
 
 
-def main(fast: bool = True, iters: int = 5):
+def main(fast: bool = True, iters: int = 5, remat: bool = True):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -23,6 +25,11 @@ def main(fast: bool = True, iters: int = 5):
     from msfno_tpu.utils.config import TrainConfig
 
     cfg = __graft_entry__._flagship_cfg(fast=fast)
+    if not remat:
+        # film-only training (film_layers=1) backprops only through the last
+        # block + decoder; per-block remat then just re-runs block 11's
+        # full-res inverse SHT in the backward for no memory benefit
+        cfg = dataclasses.replace(cfg, checkpointing_block=False)
     tcfg = TrainConfig(batch_size=1, film_scale_start=1.0)
     trainer = Trainer(cfg, tcfg)
 
@@ -50,4 +57,4 @@ def main(fast: bool = True, iters: int = 5):
 
 
 if __name__ == "__main__":
-    main(fast="--parity" not in sys.argv)
+    main(fast="--parity" not in sys.argv, remat="--no-remat" not in sys.argv)
