@@ -135,6 +135,7 @@ class FourierNeuralOperatorBlock(nn.Module):
     use_pallas: bool = False
     mxu_dtype: str = "float32"
     checkpointing_mlp: bool = False
+    fuse_norm: bool = True  # fold instance-norm into the forward SHT
     filmed: bool = False
     checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -150,8 +151,7 @@ class FourierNeuralOperatorBlock(nn.Module):
     ) -> Array:
         residual = x
 
-        x = make_norm(self.norm_kind, self.input_shape, "norm0")(x)
-        x = make_filter(
+        filt = make_filter(
             self.filter_type,
             self.spectral_transform,
             self.forward_transform,
@@ -164,7 +164,22 @@ class FourierNeuralOperatorBlock(nn.Module):
             self.rank,
             self.use_pallas,
             self.mxu_dtype,
-        )(x)
+        )
+        norm0 = make_norm(self.norm_kind, self.input_shape, "norm0")
+        if (
+            self.fuse_norm
+            and self.norm_kind == "instance_norm"
+            and self.filter_type == "non-linear"
+            and self.spectral_transform == "sht"
+        ):
+            # fold norm0 into the filter's forward SHT (see
+            # SpectralAttentionS2.norm_affine): skips materializing the
+            # normalized field — one full-res read + write saved on block 0
+            a, b = norm0(x, True)
+            x = filt(x, norm_affine=(a, b))
+        else:
+            x = norm0(x)
+            x = filt(x)
 
         if self.inner_skip == "linear":
             x = x + nn.Dense(

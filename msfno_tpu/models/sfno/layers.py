@@ -185,7 +185,7 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_affine: bool = False):
         in_dtype = x.dtype
         c = x.shape[-1]
         x32 = x.astype(jnp.float32)
@@ -194,9 +194,17 @@ class InstanceNorm(nn.Module):
         mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
         mean_sq = jnp.mean(x32 * x32, axis=(-3, -2), keepdims=True)
         var = jnp.maximum(mean_sq - mean * mean, 0.0)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if return_affine:
+            # norm(x) == a*x + b with per-(B, C) a, b: lets the caller fold
+            # the normalization into a downstream linear op (the SHT) instead
+            # of materializing the normalized field (saves one full-res
+            # read + write; see SpectralAttentionS2 norm_affine)
+            a = jax.lax.rsqrt(var + self.eps) * scale
+            b = bias - mean * jax.lax.rsqrt(var + self.eps) * scale
+            return a, b
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(in_dtype)
 
 
@@ -257,11 +265,32 @@ class SpectralAttentionS2(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, norm_affine=None) -> Array:
         in_dtype = x.dtype
         hidden = int(self.hidden_size_factor * self.embed_dim)
         forward_transform, inverse_transform = self._transforms()
         x = forward_transform(x.astype(jnp.float32))
+        if norm_affine is not None:
+            # Fused instance-norm: the block passed norm(x) = a*x + b as
+            # (a, b) instead of materializing it.  Both SHT stages are linear,
+            # so SHT(a*x + b) = a*SHT(x) + b*SHT(1); the constant field only
+            # excites the m=0 column with profile s0_l = sum_k w[0, l, k]
+            # (DFT of a constant is delta_{m0}).  The fix-up runs on the
+            # (B, L, M, C) spectral array — 8x smaller than the grid.
+            from msfno_tpu.ops.sht import RealSHT
+
+            assert isinstance(self.forward_transform, RealSHT)
+            a, b = norm_affine  # (B, 1, 1, C) fp32 each
+            s0 = jnp.asarray(
+                self.forward_transform.weights[0].sum(-1)
+            )  # (lmax,)
+            x = x * a.astype(jnp.float32)
+            add = b[:, 0, :, :] * s0[None, :, None]  # (B, L, C)
+            mmax = x.shape[-2]
+            add = jnp.pad(
+                add[:, :, None, :], ((0, 0), (0, 0), (0, mmax - 1), (0, 0))
+            )
+            x = x + jax.lax.complex(add, jnp.zeros_like(add))
         x = annotate_spectral(x)
 
         dims = [self.embed_dim] + [hidden] * self.spectral_layers
@@ -282,10 +311,13 @@ class SpectralAttentionS2(nn.Module):
 
             x = spectral_mlp(x, ws + [wout], mxu_dtype=self.mxu_dtype)
         else:
+            from msfno_tpu.ops.sht import _matmul_precision
+
+            prec = _matmul_precision(self.mxu_dtype)
             for layer in range(self.spectral_layers):
-                x = compl_mul(x, to_complex(ws[layer]))
+                x = compl_mul(x, to_complex(ws[layer]), precision=prec)
                 x = complex_relu(x, mode=self.complex_activation)
-            x = compl_mul(x, to_complex(wout))
+            x = compl_mul(x, to_complex(wout), precision=prec)
         x = annotate_spectral(x)
 
         x = inverse_transform(x)

@@ -99,6 +99,7 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
         use_pallas=cfg.use_pallas,
         mxu_dtype=cfg.spectral_mxu_dtype,
         checkpointing_mlp=cfg.checkpointing_mlp,
+        fuse_norm=cfg.fuse_norm_sht,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

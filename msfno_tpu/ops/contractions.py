@@ -31,20 +31,24 @@ def _cjoin(re, im):
     return jax.lax.complex(re, im)
 
 
-def _ceinsum(spec: str, a: jax.Array, b: jax.Array) -> jax.Array:
+def _ceinsum(spec: str, a: jax.Array, b: jax.Array, precision=None) -> jax.Array:
     """Complex einsum as 4 real einsums (fp32 accumulate on MXU)."""
     ar, ai = _csplit(a)
     br, bi = _csplit(b)
-    f = lambda x, y: jnp.einsum(spec, x, y, preferred_element_type=jnp.float32)
+    f = lambda x, y: jnp.einsum(
+        spec, x, y, precision=precision, preferred_element_type=jnp.float32
+    )
     return _cjoin(f(ar, br) - f(ai, bi), f(ar, bi) + f(ai, br))
 
 
-def compl_mul(x: jax.Array, w: jax.Array) -> jax.Array:
+def compl_mul(x: jax.Array, w: jax.Array, precision=None) -> jax.Array:
     """Mode-shared channel mixing (reference compl_mul2d_fwd_c, "bixy,io->boxy").
 
     x: (..., L, M, C_in) complex; w: (C_in, C_out) complex.
+    precision: XLA matmul precision (None = DEFAULT = 1-pass bf16 on TPU;
+    see ops/sht.py:_matmul_precision for the measured tiers).
     """
-    return _ceinsum("...i,io->...o", x, w)
+    return _ceinsum("...i,io->...o", x, w, precision=precision)
 
 
 def compl_muladd(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:

@@ -38,6 +38,15 @@ from msfno_tpu.ops.legendre import legendre_matrix
 from msfno_tpu.ops.quadrature import grid_quadrature
 
 
+def _matmul_precision(mxu_dtype: str) -> jax.lax.Precision:
+    """Map the mxu_dtype knob to an XLA matmul precision (see RealSHT)."""
+    return {
+        "bfloat16": jax.lax.Precision.DEFAULT,
+        "tensorfloat": jax.lax.Precision.HIGH,
+        "float32": jax.lax.Precision.HIGHEST,
+    }[str(mxu_dtype)]
+
+
 def _resolve_modes(nlat: int, nlon: int, lmax, mmax) -> tuple[int, int]:
     lmax = lmax or nlat
     mmax = mmax or nlon // 2 + 1
@@ -117,9 +126,15 @@ class RealSHT:
     csphase: bool = True
     spectral_rescale: float = 1.0
     lon_dft: str = "matmul"  # "matmul" (MXU, truncated DFT) | "fft" (XLA rfft)
-    # MXU input dtype for the DFT/Legendre matmuls: "bfloat16" runs them at
-    # native MXU rate with fp32 accumulation; "float32" (default) matches the
-    # reference's fully fp32 transform
+    # Numerics of the DFT/Legendre matmuls.  Measured on v5e (tools/
+    # bench_precision_ladder.py + /tmp precision probe, 2026-08-17): XLA's
+    # DEFAULT f32 matmul rounds inputs to bf16 (1 pass, rel ~2e-3 — bit-
+    # identical to feeding bf16 inputs), HIGH is bf16x3 (rel ~1e-5, ~1.13x
+    # time), HIGHEST is true f32 (rel ~2e-7, ~1.4x).  Explicit .astype casts
+    # are therefore pure overhead; the knob now maps to matmul precision:
+    #   "bfloat16"    -> precision DEFAULT (1-pass bf16; fast path)
+    #   "tensorfloat" -> precision HIGH    (bf16x3; near-f32 at ~13% cost)
+    #   "float32"     -> precision HIGHEST (true f32; reference-faithful)
     mxu_dtype: str = "float32"
 
     def __post_init__(self):
@@ -140,9 +155,9 @@ class RealSHT:
             raise ValueError(
                 f"expected (..., {self.nlat}, {self.nlon}, C), got {x.shape}"
             )
-        md = jnp.dtype(self.mxu_dtype)
+        prec = _matmul_precision(self.mxu_dtype)
         ein = lambda spec, a, b: jnp.einsum(
-            spec, a.astype(md), b.astype(md),
+            spec, a, b, precision=prec,
             preferred_element_type=jnp.float32,
         )
         x = x.astype(jnp.float32)
@@ -200,9 +215,9 @@ class InverseRealSHT:
                 f"expected (..., {self.lmax}, {self.mmax}, C), got {coeffs.shape}"
             )
         coeffs = coeffs.astype(jnp.complex64)
-        md = jnp.dtype(self.mxu_dtype)
+        prec = _matmul_precision(self.mxu_dtype)
         ein = lambda spec, a, b: jnp.einsum(
-            spec, a.astype(md), b.astype(md),
+            spec, a, b, precision=prec,
             preferred_element_type=jnp.float32,
         )
         p = jnp.asarray(self.pct)

@@ -113,6 +113,9 @@ class SFNOConfig:
     pos_embed: bool = True
     spectral_rescale: float = 1e5  # sfnonet.py:550-555 gradient-conditioning trick
     checkpointing_mlp: bool = False  # jax.checkpoint on block channel-MLPs
+    # fold each block's instance-norm into its forward SHT (exact linear
+    # rewrite; skips materializing the normalized field at full resolution)
+    fuse_norm_sht: bool = True
     checkpointing_block: bool = False  # jax.checkpoint per block
     checkpointing_encoder: bool = False
     checkpointing_decoder: bool = False

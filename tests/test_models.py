@@ -94,6 +94,21 @@ class TestSFNO:
         assert y.dtype == jnp.float32  # output cast back
         assert np.all(np.isfinite(np.asarray(y)))
 
+    def test_fused_norm_matches_unfused(self):
+        # fuse_norm_sht folds each block's instance-norm into the forward
+        # SHT via SHT(a*x+b) = a*SHT(x) + b*SHT(1); must be an exact
+        # rewrite (linear algebra, no approximation)
+        cfg = _small_cfg(fuse_norm_sht=True)
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 64, 4))
+        m1 = FourierNeuralOperatorNet(cfg)
+        params = m1.init(jax.random.PRNGKey(0), x)
+        y1 = m1.apply(params, x)
+        m2 = FourierNeuralOperatorNet(
+            dataclasses.replace(cfg, fuse_norm_sht=False)
+        )
+        y2 = m2.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+
     def test_remat_matches(self):
         cfg = _small_cfg()
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 64, 4))
