@@ -191,6 +191,30 @@ class TestTrainer:
         ]
         assert max(diffs) > 0
 
+    def test_scan_chained_steps_match_dispatched(self):
+        # trainer.train_steps runs K optimizer steps in one lax.scan
+        # program; must equal K dispatched _train_step calls exactly
+        cfg = small_cfg(film=False)
+        tcfg = TrainConfig(batch_size=1, learning_rate=1e-3)
+        tr = Trainer(cfg, tcfg)
+        state = tr.init_state()
+        k = 3
+        batches = [gen_batch(cfg, 1, 0, seed=i) for i in range(k)]
+        era5_k = jnp.stack([jnp.asarray(b.era5) for b in batches])
+
+        s_disp = state
+        losses = []
+        for i in range(k):
+            s_disp, m = tr._train_step(s_disp, era5_k[i], None)
+            losses.append(float(m["loss"]))
+        s_scan, ms = tr.train_steps(state, era5_k)
+        np.testing.assert_allclose(np.asarray(ms["loss"]), losses, rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_disp.trainable),
+            jax.tree_util.tree_leaves(s_scan.trainable),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
     def test_multi_step_discount(self):
         cfg = small_cfg(film=False)
         tcfg = TrainConfig(

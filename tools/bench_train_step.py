@@ -55,6 +55,23 @@ def main(fast: bool = True, iters: int = 5, remat: bool = True):
     print(f"train step: {dt * 1e3:.1f} ms ({1.0 / dt:.2f} steps/s), "
           f"loss={loss:.4f}", flush=True)
 
+    # scan-chained: K steps per launch (trainer.train_steps) — the true
+    # device rate without per-call dispatch
+    k = 8
+    era5_k = jnp.broadcast_to(era5[None], (k,) + era5.shape)
+    sst_k = jnp.broadcast_to(sst[None], (k,) + sst.shape) if sst is not None else None
+    t0 = time.perf_counter()
+    state, m = trainer.train_steps(state, era5_k, sst_k)
+    float(m["loss"][-1])
+    print(f"scan compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        state, m = trainer.train_steps(state, era5_k, sst_k)
+    loss = float(m["loss"][-1])
+    dt = (time.perf_counter() - t0) / (2 * k)
+    print(f"scan train step: {dt * 1e3:.1f} ms ({1.0 / dt:.2f} steps/s), "
+          f"loss={loss:.4f}", flush=True)
+
 
 if __name__ == "__main__":
     main(fast="--parity" not in sys.argv, remat="--no-remat" not in sys.argv)
