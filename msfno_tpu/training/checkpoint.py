@@ -93,6 +93,75 @@ def load_checkpoint(path: str, opt_state_template=None):
     return params, opt_state, meta
 
 
+def save_checkpoint_orbax(
+    path: str,
+    params: dict,
+    opt_state=None,
+    step: int = 0,
+    epoch: int = 0,
+    config_json: str = "{}",
+    extra: dict[str, Any] | None = None,
+) -> str:
+    """Orbax-backed checkpoint directory (same payload contract as
+    `save_checkpoint`).
+
+    This is the TPU-production path: orbax writes sharded arrays in
+    parallel across hosts (each host stores only its addressable shards),
+    which the single-file .npz format cannot do.  Metadata lands in
+    `meta.json` next to the tree so `peek` stays a one-small-file read.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    meta = {
+        "step": int(step),
+        "epoch": int(epoch),
+        "config": config_json,
+        "format_version": 1,
+        "backend": "orbax",
+    }
+    if extra:
+        meta.update(extra)
+    payload = {"params": params}
+    if opt_state is not None:
+        # store leaves positionally (optax state treedefs contain
+        # non-serializable nodes); the template restores the structure
+        payload["opt_leaves"] = {
+            str(i): leaf
+            for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state))
+        }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def peek_orbax(path: str) -> dict[str, Any]:
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def load_checkpoint_orbax(path: str, opt_state_template=None):
+    """Returns (params, opt_state|None, meta) from an orbax directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    meta = peek_orbax(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    params = payload["params"]
+    opt_state = None
+    if opt_state_template is not None and "opt_leaves" in payload:
+        leaves = [
+            payload["opt_leaves"][str(i)]
+            for i in range(len(payload["opt_leaves"]))
+        ]
+        treedef = jax.tree_util.tree_structure(opt_state_template)
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, opt_state, meta
+
+
 def merge_film_checkpoint(backbone_params: dict, film_params: dict) -> dict:
     """Overlay film-generator weights onto a backbone param tree (reference
     film-weights merge, sfno/model.py:909-912, 983-1005)."""

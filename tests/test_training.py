@@ -267,6 +267,30 @@ class TestTrainer:
             np.testing.assert_array_equal(a, np.asarray(b))
         assert opt_state is not None
 
+    def test_checkpoint_roundtrip_orbax(self, tmp_path):
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig())
+        state = tr.init_state()
+        path = str(tmp_path / "cp_orbax")
+        ckpt_io.save_checkpoint_orbax(
+            path, state.params, opt_state=state.opt_state, step=5, epoch=2,
+            config_json="{}",
+        )
+        meta = ckpt_io.peek_orbax(path)
+        assert meta["step"] == 5 and meta["epoch"] == 2
+        params, opt_state, _ = ckpt_io.load_checkpoint_orbax(
+            path, opt_state_template=state.opt_state
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert opt_state is not None
+        assert jax.tree_util.tree_structure(opt_state) == (
+            jax.tree_util.tree_structure(state.opt_state)
+        )
+
     def test_model_speed_harness(self):
         cfg = small_cfg(film=False)
         tr = Trainer(cfg, TrainConfig())
