@@ -40,6 +40,9 @@ TILE_N = 256
 # packed double-width matmul kernel (default) vs the original 4-dot kernel;
 # module-level so benches can A/B both paths
 PACKED = True
+# fused Pallas input-gradient kernel (bf16 path) vs jnp-reference VJP;
+# module-level so benches can A/B the backward alone
+PALLAS_BWD = True
 
 
 def _mlp_reference(xr, xi, ws, negative_slope: float):
@@ -229,6 +232,119 @@ def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
     return out_r, out_i
 
 
+def _make_packed_bwd_kernel(n_layers: int, negative_slope: float, mxu_dtype,
+                            d_outs: tuple[int, ...]):
+    """Fused input-gradient kernel: recompute the packed forward per tile
+    (weights already VMEM-resident), stash only the LeakyReLU derivative
+    multiplier per hidden layer (bf16, 1/4 the bytes of the preactivations),
+    then run the transposed chain g <- (g * act') @ P^T back to the input.
+
+    One HBM read of x and g, one write of dx — vs the jnp fallback's full
+    recompute + per-layer HBM round-trips.  The transposed products use
+    dot_general contracting dim 1 with dim 1 (g @ P^T) so the same packed
+    weight refs serve both directions.
+    """
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n_layers]
+        g_ref = refs[n_layers]
+        out_ref = refs[n_layers + 1]
+        # forward recompute: keep only the activation-derivative masks
+        h = x_ref[:]
+        masks = []
+        for idx in range(n_layers - 1):
+            z = jnp.dot(
+                h.astype(mxu_dtype), w_refs[idx][:],
+                preferred_element_type=jnp.float32,
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            neg = (col < d_outs[idx]) & (z < 0)
+            masks.append(
+                jnp.where(neg, negative_slope, 1.0).astype(jnp.bfloat16)
+            )
+            h = jnp.where(neg, negative_slope * z, z)
+        # transposed chain
+        g = g_ref[:]
+        for idx in range(n_layers - 1, -1, -1):
+            g = jax.lax.dot_general(
+                g.astype(mxu_dtype), w_refs[idx][:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if idx > 0:
+                g = g * masks[idx - 1].astype(jnp.float32)
+        out_ref[:] = g
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("negative_slope", "interpret", "mxu_dtype", "tile_n"),
+)
+def _packed_bwd_call(xr, xi, gr, gi, *flat_ws, negative_slope: float = 0.0,
+                     interpret: bool = False, mxu_dtype: str = "float32",
+                     tile_n: int = 256):
+    """Input gradient of `_packed_call` (same packed layout)."""
+    n_layers = len(flat_ws) // 2
+    n, c_in = xr.shape
+    c_out = flat_ws[-2].shape[1]
+    md = jnp.dtype(mxu_dtype)
+
+    x = jnp.concatenate([xr, xi], axis=1)
+    g = jnp.concatenate([gr, gi], axis=1)
+    n_pad = -n % tile_n
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad), (0, 0)))
+    n_tot = n + n_pad
+
+    packed_ws, d_outs = [], []
+    for k in range(n_layers):
+        wr, wi = flat_ws[2 * k], flat_ws[2 * k + 1]
+        top = jnp.concatenate([wr, wi], axis=1)
+        bot = jnp.concatenate([-wi, wr], axis=1)
+        packed_ws.append(jnp.concatenate([top, bot], axis=0).astype(md))
+        d_outs.append(wr.shape[1])
+
+    kernel = _make_packed_bwd_kernel(
+        n_layers, negative_slope, md, tuple(d_outs)
+    )
+    x_spec = pl.BlockSpec(
+        (tile_n, 2 * c_in), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    g_spec = pl.BlockSpec(
+        (tile_n, 2 * c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in packed_ws
+    ]
+
+    flops = 0
+    d_in = c_in
+    for k in range(n_layers):
+        d_out = flat_ws[2 * k].shape[1]
+        flops += 2 * n_tot * d_in * d_out * 8  # recompute + transposed chain
+        d_in = d_out
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tot // tile_n,),
+        in_specs=[x_spec] + w_specs + [g_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tot, 2 * c_in), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * n_tot * (2 * c_in + c_out))
+            + sum(w.dtype.itemsize * w.size for w in packed_ws),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, *packed_ws, g)
+    return out[:n, :c_in], out[:n, c_in:]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _spectral_mlp_flat(x2, ws, negative_slope: float, interpret: bool,
                        mxu_dtype: str):
@@ -260,6 +376,25 @@ def _fwd(x2, ws, negative_slope, interpret, mxu_dtype):
 
 def _bwd(negative_slope, interpret, mxu_dtype, res, g):
     x2, ws = res
+    if PACKED and PALLAS_BWD and jnp.dtype(mxu_dtype) == jnp.bfloat16:
+        # fused Pallas input gradient (bf16 weights fit VMEM alongside the
+        # derivative masks; the fp32-weight variant would not)
+        flat = []
+        for w in ws:
+            flat += [w[..., 0], w[..., 1]]
+        dxr, dxi = _packed_bwd_call(
+            x2[..., 0], x2[..., 1], g[..., 0], g[..., 1], *flat,
+            negative_slope=negative_slope, interpret=interpret,
+            mxu_dtype=mxu_dtype,
+        )
+        dx = jnp.stack([dxr, dxi], axis=-1)
+        # weight cotangents via the jnp chain; XLA DCEs this whole branch
+        # when the surrounding grad never requests them (frozen backbone)
+        _, vjp_w = jax.vjp(
+            lambda w: _ref_flat(x2, w, negative_slope), ws
+        )
+        (dws,) = vjp_w(g)
+        return dx, dws
     _, vjp = jax.vjp(lambda x, w: _ref_flat(x, w, negative_slope), x2, ws)
     return vjp(g)
 

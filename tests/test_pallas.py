@@ -92,6 +92,56 @@ class TestSpectralMlpKernel:
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
             )
 
+    def test_fused_input_gradient_matches_vjp(self):
+        """The fused Pallas backward kernel (recompute + transposed chain)
+        equals the jnp-reference VJP w.r.t. the input, fp32, exactly-shaped
+        (direct `_packed_bwd_call`, interpret mode)."""
+        import msfno_tpu.ops.pallas.spectral_mlp as sm
+
+        key = jax.random.PRNGKey(3)
+        c, h, n = 16, 32, 100  # n not a tile multiple: exercises padding
+        ws = _weights(key, [c, h, h, c])
+        x2 = jax.random.normal(key, (n, c, 2))
+        g = jax.random.normal(jax.random.fold_in(key, 1), (n, c, 2))
+
+        _, vjp = jax.vjp(lambda x: sm._ref_flat(x, ws, 0.1), x2)
+        (dx_ref,) = vjp(g)
+
+        flat = []
+        for w in ws:
+            flat += [w[..., 0], w[..., 1]]
+        dxr, dxi = sm._packed_bwd_call(
+            x2[..., 0], x2[..., 1], g[..., 0], g[..., 1], *flat,
+            negative_slope=0.1, interpret=True, mxu_dtype="float32",
+        )
+        dx = jnp.stack([dxr, dxi], axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_bf16_grad_path_matches_loosely(self):
+        """End-to-end grad through spectral_mlp with mxu_dtype=bfloat16 (the
+        gate that selects the fused Pallas backward) tracks the fp32 reference
+        within bf16 rounding."""
+        key = jax.random.PRNGKey(4)
+        c, h, n = 16, 32, 64
+        ws = _weights(key, [c, h, c])
+        coeffs = jax.lax.complex(
+            jax.random.normal(key, (n, 1, c)),
+            jax.random.normal(jax.random.fold_in(key, 9), (n, 1, c)),
+        )
+
+        def loss(co, dtype):
+            out = spectral_mlp(co, ws, interpret=True, mxu_dtype=dtype)
+            return jnp.sum(jnp.abs(out) ** 2)
+
+        gk = jax.grad(lambda co: loss(co, "bfloat16"))(coeffs)
+        gr = jax.grad(lambda co: loss(co, "float32"))(coeffs)
+        ref = np.abs(np.asarray(gr)).max()
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=0.1, atol=0.05 * ref
+        )
+
     def test_in_model(self):
         """use_pallas config flag produces the same outputs as the einsum path
         (interpret mode via monkeypatched default)."""

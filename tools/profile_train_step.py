@@ -43,9 +43,13 @@ def main(fast: bool = True, k: int = 8, reps: int = 3):
     sst = jnp.asarray(batch.sst)
     scale = state.film_scale
 
+    # era5/sst/frozen MUST be explicit jit arguments: lowering a jit that
+    # closes over GB-scale on-device arrays forces a device->host fetch of
+    # the buffers as MLIR constants, which crawls through the axon relay at
+    # MB/s (observed as a ">30 min compile")
     @jax.jit
-    def scan_value(trainable, s0):
-        params = merge_params(trainable, state.frozen)
+    def scan_value(trainable, frozen, era5, sst, s0):
+        params = merge_params(trainable, frozen)
 
         def body(s, _):
             e = era5.at[(0,) * era5.ndim].add(s * 1e-30)
@@ -55,10 +59,10 @@ def main(fast: bool = True, k: int = 8, reps: int = 3):
         return jax.lax.scan(body, s0, None, length=k)[0]
 
     @jax.jit
-    def scan_grad(trainable):
+    def scan_grad(trainable, frozen, era5, sst):
         def body(tr, _):
             def lf(tr_):
-                p = merge_params(tr_, state.frozen)
+                p = merge_params(tr_, frozen)
                 return trainer._rollout_loss(p, era5, sst, scale)[0]
 
             loss, g = jax.value_and_grad(lf)(tr)
@@ -85,8 +89,13 @@ def main(fast: bool = True, k: int = 8, reps: int = 3):
         print(f"{label}: {dt * 1e3:.1f} ms/step", flush=True)
         return dt
 
-    tv = timed("value(fwd+loss)", scan_value, state.trainable, jnp.float32(0.0))
-    tg = timed("value_and_grad ", scan_grad, state.trainable)
+    tv = timed(
+        "value(fwd+loss)", scan_value,
+        state.trainable, state.frozen, era5, sst, jnp.float32(0.0),
+    )
+    tg = timed(
+        "value_and_grad ", scan_grad, state.trainable, state.frozen, era5, sst
+    )
 
     era5_k = jnp.broadcast_to(era5[None], (k,) + era5.shape)
     sst_k = jnp.broadcast_to(sst[None], (k,) + sst.shape)
