@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="restore LR-schedule position from --resume-checkpoint "
                          "(reference train.py:428-431)")
     tr.add_argument("--film-scale-start", type=float, default=0.0)
+    tr.add_argument("--bf16-frozen-params", action="store_true",
+                    help="store the frozen backbone in bfloat16 (halves "
+                         "frozen-param HBM traffic; fast/bf16 config only)")
     tr.add_argument("--time-limit", default=None,
                     help="HH:MM:SS graceful-stop wall limit (main.py:149-156)")
     tr.add_argument("--num-iterations", type=int, default=10,
@@ -270,6 +273,7 @@ def configs_from_args(args):
         retrain_film=args.retrain_film,
         seed=args.seed,
         time_limit_s=parse_time_limit(args.time_limit),
+        bf16_frozen_params=args.bf16_frozen_params,
     )
     return model_cfg, train_cfg
 
@@ -393,6 +397,10 @@ def restore_train_state(state, trainer, args, model_cfg, train_cfg):
         tr_p, fr_p = split_params(params, pred)
     else:
         tr_p, fr_p = params, {}
+    if train_cfg.bf16_frozen_params and fr_p:
+        from msfno_tpu.inference.rollout import serving_params
+
+        fr_p = serving_params(fr_p)
     state = dc.replace(
         state,
         trainable=tr_p,

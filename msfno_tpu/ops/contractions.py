@@ -19,7 +19,14 @@ import jax.numpy as jnp
 
 
 def to_complex(w: jax.Array) -> jax.Array:
-    """(..., 2) fp32 real-pair storage -> complex64."""
+    """(..., 2) real-pair storage -> complex64.
+
+    bf16 storage (TrainConfig.bf16_frozen_params / serving_params) is
+    upcast here: lax.complex only takes f32/f64, and the upcast fuses
+    into the consumer — the HBM read already happened at half width.
+    """
+    if w.dtype != jnp.float32:
+        w = w.astype(jnp.float32)
     return jax.lax.complex(w[..., 0], w[..., 1])
 
 

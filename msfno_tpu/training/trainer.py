@@ -130,6 +130,10 @@ class Trainer:
         else:
             params = jax.jit(self.model.init)(rng, x)["params"]
             trainable, frozen = params, {}
+        if self.tcfg.bf16_frozen_params and frozen:
+            from msfno_tpu.inference.rollout import serving_params
+
+            frozen = serving_params(frozen)
         log.info(
             "params: %d trainable / %d frozen",
             count_params(trainable),
@@ -211,14 +215,34 @@ class Trainer:
         per-call host dispatch (one kernel launch per K batches; over the
         axon relay that alone is ~3-5 ms/step).  Metrics come back stacked
         along the leading K axis.
-        """
 
-        if sst is None:
-            return jax.lax.scan(
-                lambda st, e: self._train_step_impl(st, e, None), state, era5
+        The frozen backbone is closed over (a scan *constant*), NOT carried:
+        an unchanged carry element relies on XLA loop-invariant code motion
+        to avoid a per-iteration copy of the multi-GB frozen pytree; hoisting
+        it out of the carry guarantees it (measured neutral on v5e — LICM was
+        already doing the hoist — but load-bearing under any sharding that
+        defeats LICM).
+        """
+        frozen = state.frozen
+
+        def body(carry, xs):
+            trainable, opt_state, step, film_scale = carry
+            e, s = xs if sst is not None else (xs, None)
+            st = TrainState(trainable, frozen, opt_state, step, film_scale)
+            st, metrics = self._train_step_impl(st, e, s)
+            return (
+                (st.trainable, st.opt_state, st.step, st.film_scale),
+                metrics,
             )
-        return jax.lax.scan(
-            lambda st, xs: self._train_step_impl(st, *xs), state, (era5, sst)
+
+        carry0 = (state.trainable, state.opt_state, state.step, state.film_scale)
+        xs = era5 if sst is None else (era5, sst)
+        (trainable, opt_state, step, film_scale), metrics = jax.lax.scan(
+            body, carry0, xs
+        )
+        return (
+            TrainState(trainable, frozen, opt_state, step, film_scale),
+            metrics,
         )
 
     def train_steps(self, state: TrainState, era5, sst=None):

@@ -193,3 +193,10 @@ class TrainConfig:
     retrain_film: bool = False  # unfreeze decoder + last blocks too
     seed: int = 42
     time_limit_s: float | None = None  # graceful stop (train.py:821-828)
+    # Store the frozen backbone in bfloat16 (fast/bf16 compute config only).
+    # Every consumer already rounds operands to bf16 at the MXU, so this is
+    # numerically near-neutral while halving frozen-parameter HBM traffic
+    # per step (the 721x1440x256 pos_embed alone is 1.06 GB in fp32).
+    # Checkpoints saved while this is on store the backbone at bf16
+    # precision; trainable (film) params always stay fp32.
+    bf16_frozen_params: bool = False

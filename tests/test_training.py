@@ -215,6 +215,40 @@ class TestTrainer:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_bf16_frozen_params(self):
+        # bf16_frozen_params stores the frozen backbone in bfloat16 (HBM
+        # traffic lever); loss must stay close to the fp32-frozen trainer
+        # and trainable params must remain fp32
+        cfg = small_cfg(film=True)
+        kw = dict(batch_size=1, learning_rate=1e-3, film_scale_start=1.0)
+        tr32 = Trainer(cfg, TrainConfig(**kw))
+        tr16 = Trainer(cfg, TrainConfig(**kw, bf16_frozen_params=True))
+        s32 = tr32.init_state()
+        s16 = tr16.init_state()
+        assert all(
+            x.dtype == jnp.bfloat16
+            for x in jax.tree_util.tree_leaves(s16.frozen)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
+        assert all(
+            x.dtype == jnp.float32
+            for x in jax.tree_util.tree_leaves(s16.trainable)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
+        batch = gen_batch(cfg, 1, 0, seed=0)
+        era5, sst = jnp.asarray(batch.era5), jnp.asarray(batch.sst)
+        _, m32 = tr32._train_step(s32, era5, sst)
+        s16b, m16 = tr16._train_step(s16, era5, sst)
+        l32, l16 = float(m32["loss"]), float(m16["loss"])
+        assert np.isfinite(l16)
+        assert abs(l16 - l32) / abs(l32) < 5e-2
+        # updates still flow and stay fp32
+        assert all(
+            x.dtype == jnp.float32
+            for x in jax.tree_util.tree_leaves(s16b.trainable)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
+
     def test_multi_step_discount(self):
         cfg = small_cfg(film=False)
         tcfg = TrainConfig(
