@@ -92,6 +92,24 @@ def _dft_synthesis_matrices(nlon: int, mmax: int) -> tuple[np.ndarray, np.ndarra
 
 
 @functools.lru_cache(maxsize=16)
+def _dft_analysis_merged(nlon: int, mmax: int) -> np.ndarray:
+    """(W, 2M) = [C | -S]: one matmul yields [re | im] along the mode axis,
+    so the full-res field is read ONCE instead of once per cos/sin einsum
+    (the analysis DFT is traffic-bound at 721x1440x256, not FLOP-bound)."""
+    cmat, smat = _dft_analysis_matrices(nlon, mmax)
+    return np.concatenate([cmat, -smat], axis=1)
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_synthesis_merged(nlon: int, mmax: int) -> np.ndarray:
+    """(2M, W) = [Ci; -Si]: x = [re | im] @ [Ci; -Si] in ONE matmul writing
+    the full-res grid once — the separate re@Ci - im@Si form materializes
+    two full-res products plus the subtraction (~3x the HBM traffic)."""
+    ci, si = _dft_synthesis_matrices(nlon, mmax)
+    return np.concatenate([ci, -si], axis=0)
+
+
+@functools.lru_cache(maxsize=16)
 def _sht_weights(
     nlat: int, nlon: int, lmax: int, mmax: int, grid: str, csphase: bool
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -170,9 +188,9 @@ class RealSHT:
                 x, jnp.asarray(cmat), jnp.asarray(smat), mxu_dtype=self.mxu_dtype
             )
         elif self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
-            cmat, smat = _dft_analysis_matrices(self.nlon, self.mmax)
-            fr = ein("...hwc,wm->...hmc", x, jnp.asarray(cmat))
-            fi = -ein("...hwc,wm->...hmc", x, jnp.asarray(smat))
+            cs = _dft_analysis_merged(self.nlon, self.mmax)
+            f = ein("...hwc,wm->...hmc", x, jnp.asarray(cs))
+            fr, fi = f[..., : self.mmax, :], f[..., self.mmax :, :]
         else:
             fhat = jnp.fft.rfft(x, axis=-2, norm="forward")[..., : self.mmax, :]
             fr, fi = jnp.real(fhat), jnp.imag(fhat)
@@ -209,6 +227,13 @@ class InverseRealSHT:
         )
         return np.asarray(pct / self.spectral_rescale, dtype=np.float32)
 
+    @functools.cached_property
+    def pct2(self) -> np.ndarray:
+        """(2*mmax, lmax, nlat): pct tiled over the stacked [re | im] mode
+        axis, so one Legendre-synthesis einsum emits the (..., H, 2M, C)
+        layout the merged DFT consumes — no grid-height concat of re/im."""
+        return np.concatenate([self.pct, self.pct], axis=0)
+
     def __call__(self, coeffs: jax.Array) -> jax.Array:
         if coeffs.shape[-3] != self.lmax or coeffs.shape[-2] != self.mmax:
             raise ValueError(
@@ -220,6 +245,16 @@ class InverseRealSHT:
             spec, a, b, precision=prec,
             preferred_element_type=jnp.float32,
         )
+        if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
+            # stacked path: concat re/im at SPECTRAL size, then ONE Legendre
+            # einsum (pct2) and ONE DFT matmul — a single full-res write and
+            # no (H, 2M)-sized concat (see _dft_synthesis_merged)
+            cat = jnp.concatenate(
+                [jnp.real(coeffs), jnp.imag(coeffs)], axis=-2
+            )
+            hm = ein("mlh,...lmc->...hmc", jnp.asarray(self.pct2), cat)
+            mat = _dft_synthesis_merged(self.nlon, self.mmax)
+            return ein("...hmc,mw->...hwc", hm, jnp.asarray(mat))
         p = jnp.asarray(self.pct)
         re = ein("mlh,...lmc->...hmc", p, jnp.real(coeffs))
         im = ein("mlh,...lmc->...hmc", p, jnp.imag(coeffs))
@@ -229,11 +264,6 @@ class InverseRealSHT:
             ci, si = _dft_synthesis_matrices(self.nlon, self.mmax)
             return dft_synthesis(
                 re, im, jnp.asarray(ci), jnp.asarray(si), mxu_dtype=self.mxu_dtype
-            )
-        if self.lon_dft == "matmul" and self.mmax <= self.nlon // 2 + 1:
-            ci, si = _dft_synthesis_matrices(self.nlon, self.mmax)
-            return ein("...hmc,mw->...hwc", re, jnp.asarray(ci)) - ein(
-                "...hmc,mw->...hwc", im, jnp.asarray(si)
             )
         xm = jax.lax.complex(re, im)
         nfreq = self.nlon // 2 + 1

@@ -33,7 +33,13 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from msfno_tpu.ops.sht import InverseRealSHT, RealSHT
+from msfno_tpu.ops.sht import (
+    InverseRealSHT,
+    RealSHT,
+    _dft_analysis_matrices,
+    _dft_synthesis_matrices,
+    _matmul_precision,
+)
 
 
 # diagnostic: how many sharded transforms have been constructed (lets the
@@ -77,24 +83,36 @@ class ShardedRealSHT:
         self.weights = _pad_axis(
             _pad_axis(sht.weights, self.m_pad, 0), self.h_pad, 2
         )
+        # merged truncated-DFT analysis matrix (W, 2*M_pad) = [C | -S], each
+        # half zero-padded to M_pad: the local longitude stage is ONE MXU
+        # matmul (XLA's rfft lowers to the VPU, ~20x slower at full res —
+        # same redesign as ops/sht.py, here per latitude band)
+        cmat, smat = _dft_analysis_matrices(sht.nlon, sht.mmax)
+        self.dft = np.concatenate(
+            [_pad_axis(cmat, self.m_pad, 1), _pad_axis(-smat, self.m_pad, 1)],
+            axis=1,
+        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         w_full = jnp.asarray(self.weights)
+        dft = jnp.asarray(self.dft)
         p = self.p
-        m_local = self.m_pad // p
+        m_pad = self.m_pad
+        m_local = m_pad // p
         axis = self.axis
+        prec = _matmul_precision(self.sht.mxu_dtype)
         if x.shape[-3] != self.h_pad:
             widths = [(0, 0)] * x.ndim
             widths[-3] = (0, self.h_pad - x.shape[-3])
             x = jnp.pad(x, widths)
 
         def local(xb):
-            # xb: (B, H_pad/P, W, C)
-            fhat = jnp.fft.rfft(xb.astype(jnp.float32), axis=-2, norm="forward")
-            fhat = fhat[..., : self.sht.mmax, :]
-            pad = [(0, 0)] * fhat.ndim
-            pad[-2] = (0, self.m_pad - self.sht.mmax)
-            fhat = jnp.pad(fhat, pad)
+            # xb: (B, H_pad/P, W, C); one matmul -> stacked [re | im] modes
+            f = jnp.einsum(
+                "bhwc,wm->bhmc", xb.astype(jnp.float32), dft,
+                precision=prec, preferred_element_type=jnp.float32,
+            )
+            fhat = jax.lax.complex(f[..., :m_pad, :], f[..., m_pad:, :])
             # transpose shards: m gets split, h gets gathered
             fhat = jax.lax.all_to_all(
                 fhat, axis, split_axis=2, concat_axis=1, tiled=True
@@ -102,8 +120,10 @@ class ShardedRealSHT:
             # my m-chunk of the weights
             mi = jax.lax.axis_index(axis)
             w = jax.lax.dynamic_slice_in_dim(w_full, mi * m_local, m_local, 0)
-            re = jnp.einsum("mlh,bhmc->blmc", w, jnp.real(fhat))
-            im = jnp.einsum("mlh,bhmc->blmc", w, jnp.imag(fhat))
+            re = jnp.einsum("mlh,bhmc->blmc", w, jnp.real(fhat),
+                            precision=prec)
+            im = jnp.einsum("mlh,bhmc->blmc", w, jnp.imag(fhat),
+                            precision=prec)
             return jax.lax.complex(re, im)
 
         return shard_map(
@@ -128,31 +148,42 @@ class ShardedInverseRealSHT:
         self.h_pad = _round_up(isht.nlat, self.p)
         self.m_pad = _round_up(isht.mmax, self.p)
         self.pct = _pad_axis(_pad_axis(isht.pct, self.m_pad, 0), self.h_pad, 2)
+        # merged synthesis matrix (2*M_pad, W) = [Ci; -Si] (halves padded to
+        # M_pad with zero rows): the local longitude stage is one matmul and
+        # the mode truncation is implicit — no irfft, no nfreq zero-pad
+        ci, si = _dft_synthesis_matrices(isht.nlon, isht.mmax)
+        self.dft = np.concatenate(
+            [_pad_axis(ci, self.m_pad, 0), _pad_axis(-si, self.m_pad, 0)],
+            axis=0,
+        )
 
     def __call__(self, coeffs: jax.Array) -> jax.Array:
         p_full = jnp.asarray(self.pct)
+        dft = jnp.asarray(self.dft)
         p = self.p
         m_local = self.m_pad // p
         axis = self.axis
-        nlat, nlon = self.isht.nlat, self.isht.nlon
-        nfreq = nlon // 2 + 1
+        nlat = self.isht.nlat
+        prec = _matmul_precision(self.isht.mxu_dtype)
 
         def local(cb):
             # cb: (B, L, M_pad/P, C) for my m-chunk
             mi = jax.lax.axis_index(axis)
             w = jax.lax.dynamic_slice_in_dim(p_full, mi * m_local, m_local, 0)
-            re = jnp.einsum("mlh,blmc->bhmc", w, jnp.real(cb))
-            im = jnp.einsum("mlh,blmc->bhmc", w, jnp.imag(cb))
+            re = jnp.einsum("mlh,blmc->bhmc", w, jnp.real(cb),
+                            precision=prec)
+            im = jnp.einsum("mlh,blmc->bhmc", w, jnp.imag(cb),
+                            precision=prec)
             xm = jax.lax.complex(re, im)  # (B, H_pad, M_pad/P, C)
             # transpose shards back: h gets split, m gets gathered
             xm = jax.lax.all_to_all(
                 xm, axis, split_axis=1, concat_axis=2, tiled=True
             )  # (B, H_pad/P, M_pad, C)
-            xm = xm[..., : self.isht.mmax, :]
-            pad = [(0, 0)] * xm.ndim
-            pad[-2] = (0, nfreq - self.isht.mmax)
-            xm = jnp.pad(xm, pad)
-            return jnp.fft.irfft(xm, n=nlon, axis=-2, norm="forward")
+            cat = jnp.concatenate([jnp.real(xm), jnp.imag(xm)], axis=-2)
+            return jnp.einsum(
+                "bhmc,mw->bhwc", cat, dft,
+                precision=prec, preferred_element_type=jnp.float32,
+            )
 
         out = shard_map(
             local,

@@ -13,7 +13,8 @@ import time
 import numpy as np
 
 
-def main(fast: bool = True, iters: int = 5, remat: bool = True):
+def main(fast: bool = True, iters: int = 5, remat: bool = True,
+         bf16_frozen: bool = False):
     import dataclasses
 
     import jax
@@ -30,7 +31,8 @@ def main(fast: bool = True, iters: int = 5, remat: bool = True):
         # block + decoder; per-block remat then just re-runs block 11's
         # full-res inverse SHT in the backward for no memory benefit
         cfg = dataclasses.replace(cfg, checkpointing_block=False)
-    tcfg = TrainConfig(batch_size=1, film_scale_start=1.0)
+    tcfg = TrainConfig(batch_size=1, film_scale_start=1.0,
+                       bf16_frozen_params=bf16_frozen)
     trainer = Trainer(cfg, tcfg)
 
     t0 = time.perf_counter()
@@ -74,4 +76,5 @@ def main(fast: bool = True, iters: int = 5, remat: bool = True):
 
 
 if __name__ == "__main__":
-    main(fast="--parity" not in sys.argv, remat="--no-remat" not in sys.argv)
+    main(fast="--parity" not in sys.argv, remat="--no-remat" not in sys.argv,
+         bf16_frozen="--bf16-frozen" in sys.argv)

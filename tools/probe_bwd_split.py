@@ -16,7 +16,8 @@ import dataclasses
 import time
 
 
-def main(fast: bool = True, k: int = 8, reps: int = 3):
+def main(fast: bool = True, k: int = 8, reps: int = 3,
+         probes: tuple = (1, 2)):
     import jax
     import jax.numpy as jnp
 
@@ -64,10 +65,10 @@ def main(fast: bool = True, k: int = 8, reps: int = 3):
     @jax.jit
     def scan_grad_scale(params, era5, sst, s0):
         def body(s, _):
-            e = era5.at[(0,) * era5.ndim].add(s * 1e-30)
-
+            # iteration chaining rides the scale scalar alone; perturbing
+            # era5 would copy the 0.6 GB field per iteration (OOMs at 721res)
             def lf(s_):
-                loss, _ = trainer._rollout_loss(params, e, sst, s_)
+                loss, _ = trainer._rollout_loss(params, era5, sst, s_)
                 return loss
 
             loss, ds = jax.value_and_grad(lf)(s0 + s * 1e-30)
@@ -100,10 +101,18 @@ def main(fast: bool = True, k: int = 8, reps: int = 3):
             jnp.sum(x).astype(jnp.float32) * 0.0 for x in jax.tree.leaves(tr)
         )
 
-    timed("1) backbone-chain grad", scan_grad_scale,
-          params, era5, sst, scale)
-    timed("2) film-gen grad      ", scan_grad_gen,
-          state.trainable, state.frozen, sst)
+    # NOTE on probe 1 semantics: era5/sst are loop constants, so XLA hoists
+    # the film generator AND the frozen prefix (encoder + blocks 0..10 +
+    # block-11 filter, all scale-independent) out of the scan.  What it
+    # times is the fwd+bwd of the TAIL segment alone: film site -> block-11
+    # MLP -> decoder -> loss.  measured 25.9 ms at 721res fast (2026-08-17).
+    if 1 in probes:
+        timed("1) tail-segment fwd+bwd", scan_grad_scale,
+              params, era5, sst, scale)
+    # film wrapper expects one step's (B, T, Hs, Ws) window
+    if 2 in probes:
+        timed("2) film-gen fwd+bwd    ", scan_grad_gen,
+              state.trainable, state.frozen, sst[1])
 
 
 if __name__ == "__main__":
