@@ -73,7 +73,33 @@ def _build(cfg, params=None):
     return compiled, params, x, sst
 
 
+def _arm_watchdog(seconds: int = 2400) -> None:
+    """Fail fast instead of hanging forever if the remote-TPU tunnel is
+    wedged (its backend init blocks indefinitely; observed 2026-08-18).
+    A clean non-zero exit with a message beats an eternal silent hang for
+    the driver that invokes this script."""
+    import signal
+
+    def _expired(signum, frame):
+        print(
+            f"bench watchdog: no result after {seconds}s — remote TPU "
+            "tunnel unresponsive; aborting instead of hanging",
+            file=sys.stderr,
+            flush=True,
+        )
+        import os
+
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, _expired)
+        signal.alarm(seconds)
+    except (ValueError, AttributeError, OSError):
+        pass  # non-main thread or platform without SIGALRM
+
+
 def main() -> None:
+    _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
