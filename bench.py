@@ -73,16 +73,21 @@ def _build(cfg, params=None):
     return compiled, params, x, sst
 
 
-def _arm_watchdog(seconds: int = 2400) -> None:
+def _arm_watchdog(seconds: int = 2400):
     """Fail fast instead of hanging forever if the remote-TPU tunnel is
     wedged (its backend init blocks indefinitely; observed 2026-08-18).
     A clean non-zero exit with a message beats an eternal silent hang for
-    the driver that invokes this script."""
+    the driver that invokes this script.
+
+    Returns a kick() that re-arms the deadline; call it after each
+    completed stage so the budget is per-stage (a healthy cold-cache run
+    pays three full-size compiles back to back — a single whole-run alarm
+    would shoot down slow-but-live runs)."""
     import signal
 
     def _expired(signum, frame):
         print(
-            f"bench watchdog: no result after {seconds}s — remote TPU "
+            f"bench watchdog: no progress for {seconds}s — remote TPU "
             "tunnel unresponsive; aborting instead of hanging",
             file=sys.stderr,
             flush=True,
@@ -95,11 +100,13 @@ def _arm_watchdog(seconds: int = 2400) -> None:
         signal.signal(signal.SIGALRM, _expired)
         signal.alarm(seconds)
     except (ValueError, AttributeError, OSError):
-        pass  # non-main thread or platform without SIGALRM
+        return lambda: None  # non-main thread / no SIGALRM
+
+    return lambda: signal.alarm(seconds)
 
 
 def main() -> None:
-    _arm_watchdog()
+    kick = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +130,7 @@ def main() -> None:
         info["compile_exact_s"] = round(time.perf_counter() - t0, 1)
         dt_parity, out_parity = _time_chained(parity_c, params, x, sst, 10)
         info["exact_latency_ms"] = round(dt_parity * 1e3, 2)
+        kick()
 
         # balanced tier: fp32 activations, 1-pass-bf16 MXU matmuls
         bal_c, _, _, _ = _build(
@@ -130,6 +138,7 @@ def main() -> None:
         )
         dt_bal, _ = _time_chained(bal_c, params, x, sst, 10)
         info["balanced_latency_ms"] = round(dt_bal * 1e3, 2)
+        kick()
         y_b = bal_c(params, x, sst)
 
         t0 = time.perf_counter()
@@ -139,6 +148,7 @@ def main() -> None:
         info["compile_fast_s"] = round(time.perf_counter() - t0, 1)
         dt_fast, out_fast = _time_chained(fast_c, params, x, sst, 10)
         info["fast_latency_ms"] = round(dt_fast * 1e3, 2)
+        kick()
 
         # in-scan rate: the true device rate without per-call tunnel
         # dispatch (the production rollout path, inference/rollout.scan_rollout)
@@ -167,6 +177,7 @@ def main() -> None:
         float(jnp.sum(_jroll(params, x, sst_seq)))
         dt_scan = (time.perf_counter() - t0) / 32
         info["inscan_latency_ms"] = round(dt_scan * 1e3, 2)
+        kick()
 
         # single-step numerics drift vs the exact tier
         y_p = parity_c(params, x, sst)

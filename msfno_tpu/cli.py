@@ -378,11 +378,9 @@ def restore_train_state(state, trainer, args, model_cfg, train_cfg):
     position only under --resume-optimizer/--resume-scheduler."""
     import dataclasses as dc
 
-    import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from msfno_tpu.training.checkpoint import load_checkpoint, peek
+    from msfno_tpu.training.checkpoint import load_checkpoint
     from msfno_tpu.training.partition import (
         film_trainable_predicate,
         split_params,
@@ -413,22 +411,23 @@ def restore_train_state(state, trainer, args, model_cfg, train_cfg):
     if args.resume_optimizer and opt_state is not None:
         state = dc.replace(state, opt_state=opt_state)
     elif args.resume_scheduler:
-        # fast-forward the schedule: optax schedules read the optimizer's
-        # internal count, so set every count leaf to the stored step
-        step = meta.get("step", 0)
-
-        def bump(path, leaf):
-            name = jax.tree_util.keystr(path)
-            if "count" in name and np.ndim(leaf) == 0:
-                return jnp.asarray(step, leaf.dtype)
-            return leaf
+        # fast-forward ONLY the LR-schedule position; adam's bias-correction
+        # count must stay 0 with fresh (zero) moments (optim.py)
+        from msfno_tpu.training.optim import fast_forward_schedule
 
         state = dc.replace(
             state,
-            opt_state=jax.tree_util.tree_map_with_path(bump, state.opt_state),
+            opt_state=fast_forward_schedule(
+                state.opt_state, meta.get("step", 0)
+            ),
         )
     trainer.iter = int(meta.get("step", 0))
     trainer.epoch = int(meta.get("epoch", 0))
+    # the next train() call continues AFTER the checkpoint's epoch: our meta
+    # stores the 0-based epoch just completed, the reference stores the
+    # completed-epoch COUNT and resumes its while-loop there (train.py:53-66,
+    # 308) — both mean "start at the next epoch"
+    trainer.start_epoch = trainer.epoch + 1 if "epoch" in meta else 0
     return state
 
 
@@ -441,7 +440,9 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
 
-    args = postprocess_args(args)
+    from msfno_tpu.parallel.distributed import world_size_hint
+
+    args = postprocess_args(args, world_size=world_size_hint())
     model_cfg, train_cfg = configs_from_args(args)
     if args.resume_checkpoint:
         model_cfg, _ = merge_resume_config(model_cfg, args)
@@ -485,27 +486,19 @@ def main(argv=None) -> int:
 
         def sst_batches():
             if args.sst_path or args.era5_path:
-                from msfno_tpu.data.era5 import (
-                    ERA5Dataset,
-                    NpyBackend,
-                    PrefetchLoader,
-                )
+                # SST-only reads: works on a pure-SST store (no era5_*.npy)
+                # and never pays 73-channel ERA5 loads it would discard
+                from msfno_tpu.data.sst import SSTNpyStore
 
-                backend = NpyBackend(args.sst_path or args.era5_path)
-                ds = ERA5Dataset(
-                    backend, multi_step=0, temporal_step=f.temporal_step,
-                    past_sst=args.past_sst,
+                store = SSTNpyStore(
+                    args.sst_path or args.era5_path,
+                    temporal_step=f.temporal_step,
                 )
-                for epoch in range(train_cfg.training_epochs):
-                    loader = PrefetchLoader(
-                        ds, batch_size=train_cfg.batch_size, shuffle=True,
-                        seed=args.seed,
-                        num_workers=args.training_workers,
-                    )
-                    for batch in loader.epoch(epoch):
-                        if batch.sst is None:
-                            raise ValueError("store has no sst_*.npy files")
-                        yield batch.sst[0]  # step-0 window (S, B, T, H, W)
+                yield from store.batches(
+                    train_cfg.batch_size,
+                    epochs=train_cfg.training_epochs,
+                    seed=args.seed,
+                )
             else:
                 from msfno_tpu.data.synthetic import synthetic_sst
 

@@ -339,13 +339,27 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         if num_shards is None:
-            import jax
-
+            # Default to this process's slot in an ALREADY-initialized jax
+            # cluster.  Never trigger backend init from here: process_index()
+            # on a cold process would bring up the (possibly remote-tunnel)
+            # default backend just to learn the shard id — and a wedged
+            # tunnel blocks that call forever.  Single-process (the only
+            # case where nothing initialized jax first) is shard 0 of 1.
+            shard_id, num_shards = 0, 1
             try:
-                shard_id = jax.process_index()
-                num_shards = jax.process_count()
-            except RuntimeError:  # backend not initialized
-                shard_id, num_shards = 0, 1
+                import jax._src.xla_bridge as xb
+
+                backend_live = bool(xb._backends)
+            except Exception:
+                backend_live = False
+            if backend_live:
+                import jax
+
+                try:
+                    shard_id = jax.process_index()
+                    num_shards = jax.process_count()
+                except RuntimeError:
+                    pass
         self.shard_id = shard_id or 0
         self.num_shards = max(num_shards or 1, 1)
 

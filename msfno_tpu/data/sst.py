@@ -8,6 +8,8 @@ computation over the Nino-3.4 box vs a day-of-year climatology
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 # Nino-3.4 box: 5S-5N, 170W-120W
@@ -32,6 +34,54 @@ def nino34_mask(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     la = (lat >= NINO34_LAT[0]) & (lat <= NINO34_LAT[1])
     lo = (lon >= NINO34_LON[0]) & (lon <= NINO34_LON[1])
     return la[:, None] & lo[None, :]
+
+
+class SSTNpyStore:
+    """SST-only npy store → (T, H, W) history windows for MAE pretraining.
+
+    Layout: {root}/sst_{idx:06d}.npy, one (H, W) frame (NaN over land) per
+    6h step — the SST half of the combined era5+sst store, standing alone.
+    The reference's MAE pretraining dataset (SST_galvani, data.py:233-397)
+    likewise serves SST sequences without any ERA5 fields; wrapping the
+    full ERA5Dataset for this would (a) demand era5_*.npy files a pure-SST
+    store does not have and (b) read S*B full-resolution 73-channel states
+    per batch only to discard them."""
+
+    def __init__(self, root: str, temporal_step: int = 28):
+        self.root = root
+        self.temporal_step = temporal_step
+        self.n = len([f for f in os.listdir(root) if f.startswith("sst_")])
+        if self.n < temporal_step:
+            raise FileNotFoundError(
+                f"need >= {temporal_step} sst_*.npy frames under {root}, "
+                f"found {self.n}"
+            )
+
+    def __len__(self) -> int:
+        return self.n - self.temporal_step + 1
+
+    def window(self, idx: int) -> np.ndarray:
+        """(T, H, W) frames idx .. idx+T-1."""
+        return np.stack(
+            [
+                np.load(os.path.join(self.root, f"sst_{idx + k:06d}.npy"))
+                for k in range(self.temporal_step)
+            ]
+        )
+
+    def batches(self, batch_size: int, epochs: int = 1, seed: int = 0,
+                shuffle: bool = True):
+        """Yields (B, T, H, W) float32 batches; per-epoch deterministic
+        reshuffle, trailing partial batches dropped."""
+        for epoch in range(epochs):
+            order = np.arange(len(self))
+            if shuffle:
+                np.random.default_rng(seed + epoch).shuffle(order)
+            for b in range(len(order) // batch_size):
+                idcs = order[b * batch_size : (b + 1) * batch_size]
+                yield np.stack([self.window(int(i)) for i in idcs]).astype(
+                    np.float32
+                )
 
 
 def compute_oni(

@@ -109,6 +109,21 @@ class NoneOutput:
         pass
 
 
+def _channel_filter(variables, ordering):
+    """(keep_indices | None, kept_names | None) for an output-variables
+    request.  A filter without a channel ordering is an error, not a silent
+    write-everything: the caller asked for specific variables by name."""
+    if variables is None:
+        return None, list(ordering) if ordering else None
+    if not ordering:
+        raise ValueError(
+            "output-variables filter given but the model wrapper provides "
+            "no channel ordering to resolve names against"
+        )
+    ordering = list(ordering)
+    return [ordering.index(v) for v in variables], list(variables)
+
+
 class FileOutput:
     """Per-step .npy dump with a JSON manifest (role of the reference's grib
     FileOutput, outputs/__init__.py:12-72).  Supports the
@@ -120,12 +135,7 @@ class FileOutput:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self.ordering = list(ordering) if ordering else None
-        if variables is not None and self.ordering is not None:
-            self.keep = [self.ordering.index(v) for v in variables]
-            self.kept_names = list(variables)
-        else:
-            self.keep = None
-            self.kept_names = self.ordering
+        self.keep, self.kept_names = _channel_filter(variables, ordering)
         self.manifest = {"steps": [], "variables": self.kept_names}
 
     def write(self, data: np.ndarray, step: int = 0, **kw):
@@ -152,12 +162,7 @@ class NetCDFOutput:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self.ordering = list(ordering) if ordering else None
-        if variables is not None and self.ordering is not None:
-            self.keep = [self.ordering.index(v) for v in variables]
-            self.kept_names = list(variables)
-        else:
-            self.keep = None
-            self.kept_names = self.ordering
+        self.keep, self.kept_names = _channel_filter(variables, ordering)
         self.lat = lat
         self.lon = lon
 

@@ -36,7 +36,14 @@ Array = jax.Array
 @functools.lru_cache(maxsize=8)
 def _band_matrices(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     """(T_H, T_W) fp32 3-tap band matrices: T_H tridiagonal ones (zero past
-    the poles), T_W circulant tridiagonal (periodic longitude)."""
+    the poles), T_W circulant tridiagonal (periodic longitude).
+
+    W >= 3 required: at W=2 a circulant 3-tap stencil double-counts the
+    single wrap neighbor (j-1 and j+1 are the same column) and a 0/1 band
+    matrix cannot express that, so the rewrite would silently diverge from
+    the stencil semantics on such degenerate grids."""
+    if w < 3:
+        raise ValueError(f"box3 needs >= 3 longitude columns, got {w}")
     i = np.arange(h)
     th = (np.abs(i[:, None] - i[None, :]) <= 1).astype(np.float32)
     j = np.arange(w)

@@ -34,6 +34,34 @@ def _multi_host_env() -> bool:
         return False
 
 
+def world_size_hint() -> int:
+    """Best-effort process count WITHOUT initializing a backend (a wedged
+    remote-TPU tunnel would hang a cold `jax.process_count()` forever):
+    a live backend's count when one exists, else cluster env vars, else 1.
+    Used for the reference's world-size division of the scheduler horizon
+    (main.py:136) before any device work happens."""
+    import os
+
+    try:
+        import jax._src.xla_bridge as xb
+
+        if xb._backends:
+            return jax.process_count()
+    except Exception:
+        pass
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES")
+    if hosts:
+        return max(len([h for h in hosts.split(",") if h.strip()]), 1)
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            n = int(os.environ.get(var, "1"))
+        except ValueError:
+            continue
+        if n > 1:
+            return n
+    return 1
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

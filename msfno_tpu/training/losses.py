@@ -234,35 +234,41 @@ def statistical_loss(
 
 
 @functools.lru_cache(maxsize=4)
-def _loss_sht(h: int, w: int):
+def _loss_sht(h: int, w: int, lmax: int | None, mmax: int | None):
     """Equiangular-grid SHT for the spectral losses, cached per output shape
     (reference builds its solver once per trainer over the model grid)."""
     from msfno_tpu.ops.sht import RealSHT
 
-    return RealSHT(h, w, grid="equiangular", spectral_rescale=1.0)
+    return RealSHT(
+        h, w, lmax=lmax, mmax=mmax, grid="equiangular", spectral_rescale=1.0
+    )
 
 
-def _spectral_loss_entry(fn, **kw):
+def _spectral_loss_entry(fn, lmax: int | None = None, mmax: int | None = None,
+                         **kw):
     """Adapt an sht-solver loss to the (prd, tar) trainer signature with a
-    lazily built grid-matched SHT."""
+    lazily built grid-matched SHT.
+
+    lmax/mmax SHOULD be the model's truncation (reference: the solver handed
+    to these losses is the net's own trans_down, truncated to modes_lat/lon —
+    sfnonet.py:532-545): untruncated at 721x1440 the Legendre weights alone
+    are a (721, 721, 721) fp32 tensor (~1.5 GB on device) and every step
+    pays a ~6x-larger matmul.  `get_loss(name, model_cfg)` threads them."""
 
     def loss(prd: Array, tar: Array):
-        sht = _loss_sht(prd.shape[-3], prd.shape[-2])
+        sht = _loss_sht(prd.shape[-3], prd.shape[-2], lmax, mmax)
         return fn(sht, prd, tar, **kw)
 
     return loss
-
-
-def _fluct_entry(prd: Array, tar: Array, inp: Array):
-    h = prd.shape[-3]
-    return fluct_l2loss_sphere(jnp.asarray(_gauss_w(h)), prd, tar, inp)
 
 
 # All reference losses reachable from --loss-fn (reference create_loss,
 # train.py:433-446, exposes a subset; the spectral family losses.py:158-244
 # is exposed here too).  NormalCRPS/Beta_NLL/StatisticalLoss take
 # distributional predictions and are used by the MAE training path directly
-# (registry_mae.py), not through this (prd, tar) registry.
+# (registry_mae.py), not through this (prd, tar) registry;
+# fluct_l2loss_sphere needs the input state as a third argument, so it is
+# library-API only (the reference's create_loss does not expose it either).
 LOSSES = {
     "CosineMSE": cosine_mse,
     # the reference's create_loss builds these with relative=True,
@@ -280,7 +286,25 @@ LOSSES = {
 }
 
 
-def get_loss(name: str):
+# spectral-family losses need an SHT; built truncated to the model's modes
+# when a config is available (see _spectral_loss_entry)
+_SPECTRAL_LOSSES = {
+    "SpectralL2Sphere": spectral_l2loss_sphere,
+    "SpectralSphere": spectral_loss_sphere,
+    "H1Sphere": h1loss_sphere,
+}
+
+
+def get_loss(name: str, model_cfg=None):
+    """Resolve a --loss-fn name.  `model_cfg` (SFNOConfig), when given,
+    truncates the spectral losses' SHT to the model's own modes_lat/lon —
+    the reference semantics (its solver.sht is the truncated trans_down)."""
+    if model_cfg is not None and name in _SPECTRAL_LOSSES:
+        return _spectral_loss_entry(
+            _SPECTRAL_LOSSES[name],
+            lmax=model_cfg.modes_lat,
+            mmax=model_cfg.modes_lon,
+        )
     try:
         return LOSSES[name]
     except KeyError:

@@ -31,6 +31,32 @@ def create_schedule(cfg: TrainConfig):
     raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
 
 
+def fast_forward_schedule(opt_state, step: int):
+    """Set ONLY the LR-schedule position (ScaleByScheduleState.count) to
+    `step`, for --resume-scheduler without --resume-optimizer (reference
+    train.py:428-431 restores just the scheduler).
+
+    Deliberately narrow: scale_by_adam also keeps a `count` (bias
+    correction), and bumping it with zero mu/nu would skip the warmup
+    damping and spike the first post-resume updates ~3x."""
+    import jax.numpy as jnp
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return node._replace(count=jnp.asarray(step, node.count.dtype))
+        if hasattr(node, "_fields"):  # other optax NamedTuple states
+            return type(node)(*(rec(getattr(node, f)) for f in node._fields))
+        if isinstance(node, tuple):
+            return tuple(rec(x) for x in node)
+        if isinstance(node, list):
+            return [rec(x) for x in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(opt_state)
+
+
 def create_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = create_schedule(cfg)
     if cfg.optimizer == "adam":

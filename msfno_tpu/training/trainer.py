@@ -77,11 +77,12 @@ class Trainer:
         )
         self.normalizer = normalizer or Normalizer.identity(model_cfg.in_chans)
         self.sst_normalizer = sst_normalizer or SSTNormalizer.identity()
-        self.loss_fn = get_loss(train_cfg.loss_fn)
+        self.loss_fn = get_loss(train_cfg.loss_fn, model_cfg)
         self.tx = create_optimizer(train_cfg)
         self.writer = writer or LocalLog()
         self.checkpoint_dir = checkpoint_dir
         self.epoch = 0
+        self.start_epoch = 0
         self.iter = 0
         self._start_time = time.time()
         if mesh is not None:
@@ -331,8 +332,14 @@ class Trainer:
         epoch -> Iterator[Batch], or (single-epoch only) an iterable of Batch.
         """
         t = self.tcfg
+        # resume continues from the restored epoch (restore_train_state sets
+        # start_epoch from checkpoint meta; reference train.py:300 iterates
+        # range(start_epoch, epochs)) instead of re-running — and
+        # re-numbering checkpoints of — the completed ones.  One-shot so a
+        # later train() call on the same trainer starts fresh.
+        start, self.start_epoch = self.start_epoch, 0
         try:
-            for self.epoch in range(t.training_epochs):
+            for self.epoch in range(start, t.training_epochs):
                 it = self._epoch_iterator(loader, self.epoch, num_batches)
                 for i, batch in enumerate(it):
                     self._check_time_limit()

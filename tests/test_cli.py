@@ -277,14 +277,28 @@ class TestResumeSemantics:
         trainer = wrapper.trainer(tc)
         state = trainer.init_state()
         state = restore_train_state(state, trainer, args, mc, tc)
-        import jax
+        import optax
 
-        counts = [
-            np.asarray(l)
-            for p, l in jax.tree_util.tree_leaves_with_path(state.opt_state)
-            if "count" in jax.tree_util.keystr(p)
-        ]
-        assert counts and all(c == int(state.step) for c in counts)
+        # ONLY the LR-schedule position fast-forwards; adam's bias-correction
+        # count must stay 0 alongside its fresh zero moments (otherwise the
+        # first post-resume updates skip warmup damping and spike ~3x)
+        sched_counts, adam_counts = [], []
+
+        def collect(node):
+            if isinstance(node, optax.ScaleByScheduleState):
+                sched_counts.append(int(node.count))
+            elif isinstance(node, optax.ScaleByAdamState):
+                adam_counts.append(int(node.count))
+            if hasattr(node, "_fields"):
+                for f in node._fields:
+                    collect(getattr(node, f))
+            elif isinstance(node, (tuple, list)):
+                for x in node:
+                    collect(x)
+
+        collect(state.opt_state)
+        assert sched_counts and all(c == int(state.step) for c in sched_counts)
+        assert all(c == 0 for c in adam_counts)
 
 
 class TestArgPostprocessing:
@@ -357,3 +371,61 @@ def test_save_data_real_store(tmp_path, cli_store):
     d = np.load(files[0])
     # non-filmed model: SST intentionally not loaded (with_sst=False)
     assert d["era5"].shape[-1] == 3 and "sst" not in d
+
+
+class TestResumeEpoch:
+    def test_resume_starts_after_checkpoint_epoch(self, tmp_path):
+        """A resumed run continues at the next epoch instead of re-running
+        (and re-numbering checkpoints of) the completed ones (reference
+        train.py:53-66: while self.epoch < epochs from the restored count)."""
+        from msfno_tpu.cli import configs_from_args, restore_train_state
+        from msfno_tpu.models import get_model
+
+        rc = main(
+            TINY
+            + ["--train", "--num-iterations", "2", "--validation-interval",
+               "0", "--output-path", str(tmp_path)]
+        )
+        assert rc == 0
+        cp = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))[-1]
+        args = build_parser().parse_args(
+            TINY + ["--train", "--resume-checkpoint", str(tmp_path / cp)]
+        )
+        mc, tc = configs_from_args(args)
+        wrapper = get_model("sfno", "latest", cfg=mc)
+        trainer = wrapper.trainer(tc)
+        state = trainer.init_state()
+        restore_train_state(state, trainer, args, mc, tc)
+        assert trainer.start_epoch == trainer.epoch + 1
+        # one-shot: a fresh train() consumes it, later calls start at 0
+        trainer.tcfg = __import__("dataclasses").replace(
+            trainer.tcfg, training_epochs=0
+        )
+        trainer.train(state, num_batches=0)
+        assert trainer.start_epoch == 0
+
+
+def test_mae_pretrain_sst_only_store(tmp_path):
+    """--train --model mae --sst-path works on a pure-SST store (no
+    era5_*.npy) via SSTNpyStore — the reference's pretraining input
+    (SST_galvani) likewise has no ERA5 fields."""
+    store = tmp_path / "sstonly"
+    os.makedirs(store)
+    rng = np.random.default_rng(2)
+    for i in range(10):
+        sst = rng.standard_normal((16, 32)).astype(np.float32)
+        sst[0, :4] = np.nan
+        np.save(store / f"sst_{i:06d}.npy", sst)
+    rc = main([
+        "--model", "mae", "--train", "--sst-path", str(store),
+        "--img-size", "17", "32", "--scale-factor", "2",
+        "--in-chans", "3", "--out-chans", "3", "--embed-dim", "8",
+        "--num-layers", "1", "--spectral-layers", "1",
+        "--model-depth", "1", "--film-embed-dim", "32", "--mlp-dim", "32",
+        "--temporal-step", "4", "--coarse-level", "1",
+        "--patch-size", "4", "4", "4",
+        "--training-epochs", "1", "--batch-size", "2",
+        "--output-path", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "checkpoint_mae_final.npz").exists()

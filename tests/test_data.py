@@ -266,3 +266,44 @@ class TestShardedLoader:
         loader = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=3,
                                 shard_id=0, num_shards=1)
         assert list(loader._order(0)) != list(loader._order(1))
+
+
+class TestSSTNpyStore:
+    """SST-only pretraining store: no era5_*.npy required, windows match the
+    per-step frames, batch iterator reshuffles per epoch."""
+
+    def test_pure_sst_store(self, tmp_path):
+        from msfno_tpu.data.sst import SSTNpyStore
+
+        root = str(tmp_path / "sstonly")
+        import os
+
+        os.makedirs(root)
+        rng = np.random.default_rng(1)
+        frames = [rng.standard_normal((4, 8)).astype(np.float32)
+                  for _ in range(10)]
+        for i, f in enumerate(frames):
+            np.save(f"{root}/sst_{i:06d}.npy", f)
+        store = SSTNpyStore(root, temporal_step=3)
+        assert len(store) == 8
+        np.testing.assert_array_equal(store.window(2), np.stack(frames[2:5]))
+        batches = list(store.batches(batch_size=2, epochs=2, seed=0))
+        assert len(batches) == 2 * (8 // 2)
+        assert batches[0].shape == (2, 3, 4, 8)
+
+    def test_combined_store_skips_era5(self, npy_store):
+        from msfno_tpu.data.sst import SSTNpyStore
+
+        store = SSTNpyStore(npy_store, temporal_step=2)
+        assert store.window(0).shape == (2, 4, 8)
+
+    def test_too_short_store_raises(self, tmp_path):
+        from msfno_tpu.data.sst import SSTNpyStore
+
+        root = str(tmp_path / "short")
+        import os
+
+        os.makedirs(root)
+        np.save(f"{root}/sst_000000.npy", np.zeros((4, 8), np.float32))
+        with pytest.raises(FileNotFoundError):
+            SSTNpyStore(root, temporal_step=3)

@@ -87,3 +87,15 @@ def test_fast_mode_close_to_fp32():
         jnp.linalg.norm(yfast - y32) / jnp.maximum(jnp.linalg.norm(y32), 1e-9)
     )
     assert rel < 0.08, rel
+
+
+def test_world_size_hint_env(monkeypatch):
+    """world_size_hint reads cluster env without touching jax backends (a
+    wedged remote tunnel would hang a cold process_count())."""
+    from msfno_tpu.parallel.distributed import world_size_hint
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert world_size_hint() in (4, __import__("jax").process_count())
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1")
+    assert world_size_hint() in (2, __import__("jax").process_count())

@@ -135,3 +135,14 @@ class TestNetCDFOutput:
         o = get_output("netcdf", path=str(tmp_path / "nc"))
         p = o.write(np.zeros((4, 8, 2), np.float32), step=12)
         assert p.endswith("step_0012.nc") and os.path.exists(p)
+
+
+def test_variables_filter_without_ordering_raises(tmp_path):
+    """An output-variables request with no channel ordering to resolve names
+    against must error, not silently write every channel."""
+    from msfno_tpu.inference.io import FileOutput, NetCDFOutput
+
+    with pytest.raises(ValueError):
+        FileOutput(path=str(tmp_path / "a"), variables=["t2m"])
+    with pytest.raises(ValueError):
+        NetCDFOutput(path=str(tmp_path / "b"), variables=["t2m"])

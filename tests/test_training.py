@@ -452,3 +452,35 @@ class TestLoaderEpochProtocol:
         st = tr.init_state()
         tr.train(st, loader=factory)
         assert calls == [0, 1]
+
+
+class TestSpectralLossTruncation:
+    def test_model_cfg_truncates_loss_sht(self):
+        """With a model config, the spectral losses' SHT is truncated to the
+        model's own modes (the reference hands its truncated trans_down to
+        these losses, sfnonet.py:532-545) — untruncated at 721x1440 the
+        Legendre weights alone would be ~1.5 GB."""
+        import jax.numpy as jnp
+
+        from msfno_tpu.training.losses import _loss_sht, get_loss
+        from msfno_tpu.utils.config import SFNOConfig
+
+        cfg = SFNOConfig(img_size=(16, 32), scale_factor=2, in_chans=3,
+                         out_chans=3, embed_dim=8, num_layers=2)
+        loss = get_loss("SpectralL2Sphere", cfg)
+        prd = jnp.ones((1, 16, 32, 3)) * 0.5
+        tar = jnp.zeros((1, 16, 32, 3))
+        val = float(loss(prd, tar))
+        assert np.isfinite(val) and val > 0
+        sht = _loss_sht(16, 32, cfg.modes_lat, cfg.modes_lon)
+        assert sht.lmax == cfg.modes_lat < 16
+        assert sht.mmax == cfg.modes_lon < 17
+
+    def test_without_cfg_full_modes(self):
+        from msfno_tpu.training.losses import _loss_sht, get_loss
+        import jax.numpy as jnp
+
+        loss = get_loss("H1Sphere")
+        val = float(loss(jnp.ones((1, 8, 16, 2)), jnp.zeros((1, 8, 16, 2))))
+        assert np.isfinite(val)
+        assert _loss_sht(8, 16, None, None).lmax == 8
