@@ -440,6 +440,14 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
 
+    if args.debug:
+        # reference --debug turns on torch.autograd.set_detect_anomaly
+        # (main.py:71); the JAX analogue traps NaN/Inf at the op that
+        # produced them instead of at the loss
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from msfno_tpu.parallel.distributed import world_size_hint
 
     args = postprocess_args(args, world_size=world_size_hint())
