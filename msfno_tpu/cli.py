@@ -440,14 +440,13 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
 
-    if args.debug:
-        # reference --debug turns on torch.autograd.set_detect_anomaly
-        # (main.py:71); the JAX analogue traps NaN/Inf at the op that
-        # produced them instead of at the loss
-        import jax
-
-        jax.config.update("jax_debug_nans", True)
-
+    # NOTE on --debug: the reference enables torch.autograd.set_detect_anomaly
+    # (main.py:71), which traps NaNs in BACKWARD gradients only.  The tempting
+    # JAX analogue, jax_debug_nans, raises on every op output — and this
+    # pipeline's SST fields legitimately carry NaN over land until the film
+    # generators mask them, so it false-positives on correct data.  --debug
+    # therefore means verbose logging here; for a gradient NaN hunt, set
+    # JAX_DEBUG_NANS=1 on a synthetic (NaN-free) run instead.
     from msfno_tpu.parallel.distributed import world_size_hint
 
     args = postprocess_args(args, world_size=world_size_hint())

@@ -429,3 +429,20 @@ def test_mae_pretrain_sst_only_store(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "out" / "checkpoint_mae_final.npz").exists()
+
+
+def test_debug_flag_is_logging_only(tmp_path):
+    """--debug must not enable jax_debug_nans: NaN-coded land SST is valid
+    data and would false-positive (see the note in cli.main)."""
+    import jax
+
+    rc = main(
+        TINY
+        + ["--debug", "--model-version", "film", "--coarse-level", "2",
+           "--model-depth", "1", "--film-embed-dim", "8", "--mlp-dim",
+           "8", "--temporal-step", "2", "--train", "--num-iterations",
+           "1", "--validation-interval", "0",
+           "--output-path", str(tmp_path)]
+    )
+    assert rc == 0
+    assert not jax.config.jax_debug_nans
