@@ -22,9 +22,24 @@ from msfno_tpu.training.checkpoint import load_checkpoint
 log = logging.getLogger("msfno_tpu")
 
 
+def _checkpoint_sort_key(path: str) -> tuple:
+    """Numeric (iter, epoch) from 'checkpoint_iter={i}_epoch={e}...' names.
+    The trainer writes UNPADDED ints (trainer.py save_checkpoint), so a
+    lexicographic sort puts iter=100 before iter=20 and scrambles the
+    equidistant subset; unparseable names sort last, by name."""
+    import re
+
+    m = re.search(r"iter=(\d+)", os.path.basename(path))
+    e = re.search(r"epoch=(\d+)", os.path.basename(path))
+    if m:
+        return (0, int(m.group(1)), int(e.group(1)) if e else 0, path)
+    return (1, 0, 0, path)
+
+
 def select_checkpoints(pattern: str, max_count: int = 5) -> list[str]:
-    """Equidistant subset of matching checkpoints (reference main.py:305-322)."""
-    files = sorted(glob.glob(pattern))
+    """Equidistant subset of matching checkpoints (reference main.py:305-322),
+    ordered by training iteration."""
+    files = sorted(glob.glob(pattern), key=_checkpoint_sort_key)
     if len(files) <= max_count:
         return files
     idx = np.linspace(0, len(files) - 1, max_count).round().astype(int)
@@ -49,6 +64,12 @@ def evaluate_checkpoints(
     With include_sfno_baseline, the first checkpoint is also evaluated at
     film scale 0 — the pure-SFNO reference (--eval-sfno, model.py:1346-1354).
     """
+    # materialize: the runs loop iterates `batches` once per checkpoint, so a
+    # one-shot generator would evaluate only the first run and leave the rest
+    # with zero batches (np.concatenate on [] crashes)
+    batches = list(batches)
+    if not batches:
+        raise ValueError("evaluate_checkpoints: no validation batches")
     normalizer = normalizer or Normalizer.identity(
         batches[0].era5.shape[-1]
     )

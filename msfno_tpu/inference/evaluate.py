@@ -73,5 +73,17 @@ def hourly_climatology(fields: np.ndarray, day_of_year: np.ndarray,
     for i in range(fields.shape[0]):
         out[day_of_year[i] - 1, h6[i]] += fields[i]
         cnt[day_of_year[i] - 1, h6[i]] += 1
-    cnt = np.maximum(cnt, 1)
+    # empty (doy, hour) bins fall back to the all-time mean field: an
+    # all-zero climatology would make mse_clim the target's raw magnitude
+    # and silently INFLATE the skill score for those leads
+    empty = cnt == 0
+    if empty.any():
+        import logging
+
+        logging.getLogger("msfno_tpu").warning(
+            "climatology: %d of %d (doy, hour) bins have no samples; "
+            "filling with the archive mean", int(empty.sum()), empty.size,
+        )
+        out[empty] = fields.mean(axis=0, dtype=np.float64)
+        cnt = np.where(empty, 1, cnt)
     return (out / cnt[..., None, None, None]).astype(np.float32)

@@ -121,6 +121,14 @@ def rollout(
         yield np.asarray(pending)
 
 
+# compiled scan-rollout programs, keyed by everything that shapes the trace.
+# Re-closing over params per call would (a) re-trace the steps-deep scan for
+# every (checkpoint, batch) pair in eval_checkpoints and (b) bake the weights
+# into the program as constants — the anti-pattern make_step_fn documents for
+# remote-TPU transports.  Params are an explicit jit argument instead.
+_SCAN_PROGRAMS: dict = {}
+
+
 def scan_rollout(
     model,
     params,
@@ -133,24 +141,47 @@ def scan_rollout(
     collect_channels: Sequence[int] | None = None,
 ):
     """Whole-rollout-in-one-program variant via lax.scan.  Returns
-    (steps, B, H, W, C_collect) normalized-space outputs on device."""
+    (steps, B, H, W, C_collect) normalized-space outputs on device.
+    The compiled program is cached: repeat calls with the same model /
+    steps / normalization only swap in new params and inputs."""
     normalizer = normalizer or Normalizer.identity(x0.shape[-1])
     sstn = sst_normalizer or SSTNormalizer.identity()
     filmed = sst_seq is not None
-    collect = (
-        jnp.asarray(np.asarray(collect_channels))
+    collect_t = (
+        tuple(int(c) for c in collect_channels)
         if collect_channels is not None
         else None
     )
+    key = (
+        model,
+        int(steps),
+        filmed,
+        collect_t,
+        float(scale),
+        np.asarray(normalizer.means).tobytes(),
+        np.asarray(normalizer.stds).tobytes(),
+        repr(sstn),
+    )
+    run = _SCAN_PROGRAMS.get(key)
+    if run is None:
+        collect = (
+            jnp.asarray(np.asarray(collect_t)) if collect_t is not None else None
+        )
 
-    def body(state, sst_i):
-        if filmed:
-            nxt = model.apply({"params": params}, state, sstn(sst_i), scale)
-        else:
-            nxt = model.apply({"params": params}, state)
-        out = nxt if collect is None else nxt[..., collect]
-        return nxt, out
+        def _run(params, x0, xs):
+            def body(state, sst_i):
+                if filmed:
+                    nxt = model.apply(
+                        {"params": params}, state, sstn(sst_i), scale
+                    )
+                else:
+                    nxt = model.apply({"params": params}, state)
+                out = nxt if collect is None else nxt[..., collect]
+                return nxt, out
 
+            _, outs = jax.lax.scan(body, normalizer(x0), xs, length=steps)
+            return outs
+
+        run = _SCAN_PROGRAMS[key] = jax.jit(_run)
     xs = sst_seq if filmed else jnp.zeros((steps, 0))
-    _, outs = jax.lax.scan(body, normalizer(jnp.asarray(x0)), xs, length=steps)
-    return outs
+    return run(params, jnp.asarray(x0), xs)

@@ -18,18 +18,19 @@ from msfno_tpu.utils.config import SFNOConfig
 
 FCN0_SFC = ["10u", "10v", "2t", "sp", "msl", "tcwv"]
 FCN0_PL = (["t", "u", "v", "z", "r"], [1000, 850, 500, 50])
-# 20-channel ordering (model.py:266-294)
+# 20-channel ordering EXACTLY as the reference lists it (model.py:266-287):
+# NOT sfc-then-pl — t850 sits at index 5, tcwv at 19, r500 before r850
 FCN0_ORDERING = [
-    "10u", "10v", "2t", "sp", "msl", "tcwv",
-    "t850", "t500", "u1000", "u850", "u500", "v1000", "v850", "v500",
-    "z1000", "z850", "z500", "z50", "r850", "r500",
+    "10u", "10v", "2t", "sp", "msl", "t850",
+    "u1000", "v1000", "z1000", "u850", "v850", "z850",
+    "u500", "v500", "z500", "t500", "z50", "r500", "r850", "tcwv",
 ]
 
 FCN1_SFC = ["10u", "10v", "2t", "sp", "msl", "tcwv", "100u", "100v"]
 FCN1_PL = (["t", "u", "v", "z", "r"], [1000, 850, 500, 250, 50])
-FCN1_ORDERING = FCN1_SFC + [
-    f"{p}{lev}" for p in FCN1_PL[0] for lev in FCN1_PL[1]
-][: 26 - len(FCN1_SFC)]
+# 26-channel ordering = FCN0's 20 + the v0.1 additions, verbatim from
+# model.py:309-336 (100u/100v then the 250 hPa levels)
+FCN1_ORDERING = FCN0_ORDERING + ["100u", "100v", "u250", "v250", "z250", "t250"]
 
 
 def fcn_config(channels: int) -> SFNOConfig:

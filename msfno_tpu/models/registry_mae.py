@@ -37,12 +37,18 @@ class MAEWrapper(ModelWrapper):
         self.params = self.module.init(rng, sst)["params"]
         return self.params
 
-    def loss(self, params, sst, mask_ratio: float, rng) -> jax.Array:
+    def loss(self, params, sst, mask_ratio: float, rng,
+             train: bool = True) -> jax.Array:
         """CRPS reconstruction loss over masked, valid, non-NaN elements
-        (reference train.py:318-339 mae branch + NormalCRPS)."""
+        (reference train.py:318-339 mae branch + NormalCRPS).  During
+        training, FilmConfig.dropout is honored (deterministic=False with a
+        dropout rng split off `rng`); eval paths pass train=False."""
+        dropout_on = train and self.cfg.film.dropout > 0.0
+        rng, drop_rng = jax.random.split(rng)
         (mean, std), (loss_mask, _), _, _ = self.module.apply(
             {"params": params}, sst, mask_ratio=mask_ratio, rng=rng,
-            deterministic=True,
+            deterministic=not dropout_on,
+            rngs={"dropout": drop_rng} if dropout_on else None,
         )
         obs = jnp.nan_to_num(sst)
         return normal_crps(mean, std, obs, mask=loss_mask)

@@ -25,12 +25,27 @@ import numpy as np
 from flax import traverse_util
 
 
+def _as_plain_dict(tree):
+    """Recursively coerce Mapping-like nodes (flax FrozenDict, etc.) to plain
+    dicts so flatten/unflatten with sep='/' round-trips.  The old fallback
+    serialized non-dict trees via jax keystr paths ("['encoder']['kernel']"),
+    which load_checkpoint's sep='/' unflatten could NOT invert — the save
+    looked fine and the load produced a corrupt single-level dict."""
+    if isinstance(tree, dict):
+        return {k: _as_plain_dict(v) for k, v in tree.items()}
+    if hasattr(tree, "items"):  # Mapping-like
+        return {k: _as_plain_dict(v) for k, v in tree.items()}
+    return tree
+
+
 def _flatten(prefix: str, tree) -> dict[str, np.ndarray]:
-    flat = traverse_util.flatten_dict(tree, sep="/") if isinstance(tree, dict) else None
-    if flat is None:
-        # generic pytree (e.g. optax states): use tree_flatten_with_path
-        leaves = jax.tree_util.tree_leaves_with_path(tree)
-        flat = {jax.tree_util.keystr(path): leaf for path, leaf in leaves}
+    tree = _as_plain_dict(tree)
+    if not isinstance(tree, dict):
+        raise TypeError(
+            f"checkpoint params must be a (possibly frozen) mapping tree, "
+            f"got {type(tree).__name__}"
+        )
+    flat = traverse_util.flatten_dict(tree, sep="/")
     return {f"{prefix}/{k}": np.asarray(v) for k, v in flat.items()}
 
 
@@ -132,8 +147,14 @@ def save_checkpoint_orbax(
         }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    # meta.json: rank 0 only (every host runs this function under SPMD) and
+    # atomic tmp+rename, so a crash mid-write cannot leave a valid-looking
+    # orbax tree whose peek/load then fail on truncated JSON
+    if jax.process_index() == 0:
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
     return path
 
 

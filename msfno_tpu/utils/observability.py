@@ -82,7 +82,13 @@ class LocalLog:
             rec["_step"] = step
         self.records.append(rec)
         if self.mirror is not None:
-            self.mirror.log(metrics)
+            # forward the training iteration: wandb's auto-increment would
+            # put train/val cadences on a compressed call-count axis and
+            # restart resumed runs from the wrong step
+            if step is not None:
+                self.mirror.log(metrics, step=step)
+            else:
+                self.mirror.log(metrics)
 
     def save(self, tag: str = ""):
         if self.save_dir is None:

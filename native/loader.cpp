@@ -24,9 +24,12 @@
 
 namespace {
 
+enum NpyDtype { DT_F4, DT_F8, DT_I4, DT_I8 };
+
 struct NpyHeader {
   std::vector<int64_t> shape;
   int word_size = 0;   // bytes per element
+  NpyDtype dtype = DT_F4;
   bool fortran = false;
   int64_t data_offset = 0;
 };
@@ -58,10 +61,10 @@ int parse_npy_header(FILE* f, NpyHeader* out) {
   auto q1 = header.find('\'', dpos + 7);
   auto q2 = header.find('\'', q1 + 1);
   std::string descr = header.substr(q1 + 1, q2 - q1 - 1);
-  if (descr == "<f4" || descr == "|f4") out->word_size = 4;
-  else if (descr == "<f8") out->word_size = 8;
-  else if (descr == "<i8") out->word_size = 8;
-  else if (descr == "<i4") out->word_size = 4;
+  if (descr == "<f4" || descr == "|f4") { out->word_size = 4; out->dtype = DT_F4; }
+  else if (descr == "<f8") { out->word_size = 8; out->dtype = DT_F8; }
+  else if (descr == "<i8") { out->word_size = 8; out->dtype = DT_I8; }
+  else if (descr == "<i4") { out->word_size = 4; out->dtype = DT_I4; }
   else return -6;  // unsupported dtype
 
   // fortran_order
@@ -84,7 +87,22 @@ int parse_npy_header(FILE* f, NpyHeader* out) {
   return 0;
 }
 
-int load_one(const char* path, float* dst, int64_t max_elems) {
+// chunked read of `elems` values of SrcT, converted to float.
+template <typename SrcT>
+int read_converted(FILE* f, float* dst, int64_t elems) {
+  std::vector<SrcT> tmp(std::min<int64_t>(elems, 1 << 16));
+  int64_t done = 0;
+  while (done < elems) {
+    int64_t take = std::min<int64_t>(elems - done, (int64_t)tmp.size());
+    if (fread(tmp.data(), sizeof(SrcT), take, f) != static_cast<size_t>(take))
+      return -11;
+    for (int64_t i = 0; i < take; ++i) dst[done + i] = float(tmp[i]);
+    done += take;
+  }
+  return 0;
+}
+
+int load_one(const char* path, float* dst, int64_t expected_elems) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   NpyHeader h;
@@ -92,28 +110,24 @@ int load_one(const char* path, float* dst, int64_t max_elems) {
   if (rc != 0) { fclose(f); return rc; }
   int64_t elems = 1;
   for (int64_t d : h.shape) elems *= d;
-  if (elems > max_elems) { fclose(f); return -9; }
+  // EXACT element-count match: a short file must error like the numpy
+  // fallback's reshape would, not partially fill an uninitialized buffer
+  if (elems != expected_elems) { fclose(f); return -9; }
   if (fseek(f, static_cast<long>(h.data_offset), SEEK_SET) != 0) {
     fclose(f); return -10;
   }
-  if (h.word_size == 4) {
-    if (fread(dst, 4, elems, f) != static_cast<size_t>(elems)) {
-      fclose(f); return -11;
-    }
-  } else {  // f8 -> f4 narrowing read in chunks
-    std::vector<double> tmp(std::min<int64_t>(elems, 1 << 16));
-    int64_t done = 0;
-    while (done < elems) {
-      int64_t take = std::min<int64_t>(elems - done, tmp.size());
-      if (fread(tmp.data(), 8, take, f) != static_cast<size_t>(take)) {
-        fclose(f); return -11;
-      }
-      for (int64_t i = 0; i < take; ++i) dst[done + i] = float(tmp[i]);
-      done += take;
-    }
+  // int dtypes are VALUE-converted to float (like the fallback's astype);
+  // reinterpreting their raw bits as float would be silent corruption
+  switch (h.dtype) {
+    case DT_F4:
+      rc = (fread(dst, 4, elems, f) == static_cast<size_t>(elems)) ? 0 : -11;
+      break;
+    case DT_F8: rc = read_converted<double>(f, dst, elems); break;
+    case DT_I4: rc = read_converted<int32_t>(f, dst, elems); break;
+    case DT_I8: rc = read_converted<int64_t>(f, dst, elems); break;
   }
   fclose(f);
-  return 0;
+  return rc;
 }
 
 }  // namespace

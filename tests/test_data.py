@@ -307,3 +307,27 @@ class TestSSTNpyStore:
         np.save(f"{root}/sst_000000.npy", np.zeros((4, 8), np.float32))
         with pytest.raises(FileNotFoundError):
             SSTNpyStore(root, temporal_step=3)
+
+
+class TestNativeLoaderStrictness:
+    """Native reader must match the numpy fallback exactly: short files
+    error (never a partially-filled uninitialized buffer), int dtypes are
+    value-converted (never bit-reinterpreted)."""
+
+    def test_short_file_rejected(self, tmp_path):
+        if get_lib() is None:
+            pytest.skip("no native lib")
+        p = str(tmp_path / "short.npy")
+        np.save(p, np.zeros((4, 8), np.float32))
+        with pytest.raises(IOError):
+            load_npy_batch([p], item_shape=(4, 8, 3))
+
+    def test_int_dtypes_value_converted(self, tmp_path):
+        if get_lib() is None:
+            pytest.skip("no native lib")
+        for dt in (np.int32, np.int64, np.float64):
+            p = str(tmp_path / f"x_{np.dtype(dt).name}.npy")
+            ref = (np.arange(24).reshape(2, 3, 4) - 7).astype(dt)
+            np.save(p, ref)
+            out = load_npy_batch([p], item_shape=(2, 3, 4))
+            np.testing.assert_array_equal(out[0], ref.astype(np.float32))

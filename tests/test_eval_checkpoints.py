@@ -58,3 +58,27 @@ def test_monitors():
     assert s["ram_total_gb"] > 0
     d = device_memory_stats()
     assert len(d) >= 1
+
+
+def test_select_checkpoints_numeric_order(tmp_path):
+    """Trainer writes UNPADDED iter numbers; selection must order by the
+    numeric training iteration, not lexicographically (iter=100 < iter=20
+    as strings)."""
+    import os
+
+    from msfno_tpu.inference.eval_checkpoints import select_checkpoints
+
+    iters = [5, 20, 100, 250, 1000, 3]
+    for i in iters:
+        open(tmp_path / f"checkpoint_iter={i}_epoch=0.npz", "wb").close()
+    got = select_checkpoints(str(tmp_path / "checkpoint_*.npz"), max_count=6)
+    assert [os.path.basename(g) for g in got] == [
+        f"checkpoint_iter={i}_epoch=0.npz" for i in sorted(iters)
+    ]
+    sub = select_checkpoints(str(tmp_path / "checkpoint_*.npz"), max_count=3)
+    # linspace(0, 5, 3) -> [0, 2.5, 5] -> banker's round -> indices 0, 2, 5
+    assert [os.path.basename(s) for s in sub] == [
+        "checkpoint_iter=3_epoch=0.npz",
+        "checkpoint_iter=20_epoch=0.npz",
+        "checkpoint_iter=1000_epoch=0.npz",
+    ]

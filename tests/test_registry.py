@@ -285,3 +285,20 @@ class TestMAEOniDemo:
         res = run(steps=10, n_days=240, seed=0)
         assert np.isfinite(res["model_mae"])
         assert res["model_mae"] < res["climatology_mae"]
+
+
+def test_fcn_orderings_match_reference():
+    """Channel orderings verbatim from the reference
+    (fourcastnet/model.py:266-287 and 309-336) — NOT sfc-then-pl; a wrong
+    ordering mislabels every channel of the forecast archive."""
+    from msfno_tpu.models.registry_fcn import FCN0_ORDERING, FCN1_ORDERING
+
+    assert FCN0_ORDERING == [
+        "10u", "10v", "2t", "sp", "msl", "t850",
+        "u1000", "v1000", "z1000", "u850", "v850", "z850",
+        "u500", "v500", "z500", "t500", "z50", "r500", "r850", "tcwv",
+    ]
+    assert FCN1_ORDERING == FCN0_ORDERING + [
+        "100u", "100v", "u250", "v250", "z250", "t250",
+    ]
+    assert len(FCN0_ORDERING) == 20 and len(FCN1_ORDERING) == 26
