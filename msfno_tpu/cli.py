@@ -158,6 +158,8 @@ def build_parser() -> argparse.ArgumentParser:
                       help="(t, h, w) patch for vit/mae film generators")
     film.add_argument("--coarse-level", type=int, default=4)
     film.add_argument("--nan-mask-threshold", type=float, default=0.5)
+    film.add_argument("--scale-weight", type=float, default=1.0,
+                      help="mae film-head init divisor (main.py:962)")
     return p
 
 
@@ -227,6 +229,7 @@ def configs_from_args(args):
             ),
             nan_mask_threshold=args.nan_mask_threshold,
             num_film_features=args.embed_dim,
+            scale_weight=args.scale_weight,
         )
     model_cfg = SFNOConfig(
         img_size=tuple(args.img_size),

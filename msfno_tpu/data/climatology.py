@@ -53,8 +53,21 @@ def build_climatology(
     return clim
 
 
-def climatology_at(clim: np.ndarray, day_of_year: int, hour: int) -> np.ndarray:
+def climatology_at(clim: np.ndarray, day_of_year: int, hour: int,
+                   leap_year: bool = False) -> np.ndarray:
     """Lookup with Feb-29 mapped to Feb-28 (reference eval indexing,
-    sfno/model.py:1331-1416)."""
-    doy = min(day_of_year - 1, 364)
+    sfno/model.py:1331-1416).
+
+    The 365-slot array is built leap-day-DROPPED: slot 59 is Mar 1.  In a
+    leap year, day_of_year 60 is Feb 29 (mapped to the Feb-28 slot 58) and
+    every later day_of_year is one AHEAD of its slot — without the shift,
+    Mar 1..Dec 30 of a leap year would silently read the next day's
+    climatology."""
+    doy = day_of_year - 1
+    if leap_year:
+        if doy == 59:  # Feb 29
+            doy = 58
+        elif doy > 59:
+            doy -= 1
+    doy = min(doy, 364)
     return clim[doy, (hour // 6) % STEPS_PER_DAY]

@@ -4,8 +4,9 @@ lat, lon), chunked {time: 1}, append-dim time — the weatherbench2 layout).
 
 zarr/xarray are not available in this image, so the same schema is written as
 a directory of per-forecast-time .npy chunks plus a JSON header — structurally
-identical (one chunk per time, appendable) and convertible 1:1 to zarr when
-the libraries are present (a zarr path is auto-selected if importable).
+identical (one chunk per time, appendable) and convertible 1:1 to zarr offline
+(the header carries dims/coords verbatim; there is deliberately no in-process
+zarr branch to keep one on-disk format).
 """
 
 from __future__ import annotations
@@ -14,13 +15,6 @@ import json
 import os
 
 import numpy as np
-
-try:  # pragma: no cover - zarr not present in this image
-    import zarr  # type: ignore
-
-    HAVE_ZARR = True
-except Exception:
-    HAVE_ZARR = False
 
 
 class ForecastWriter:
@@ -35,15 +29,29 @@ class ForecastWriter:
         step_hours: int = 6,
     ):
         self.path = path
-        self.meta = {
-            "dims": ["prediction_timedelta", "time", "lat", "lon", "channel"],
-            "channels": channels,
-            "step_hours": step_hours,
-            "lat": np.asarray(lat).tolist(),
-            "lon": np.asarray(lon).tolist(),
-            "times": [],
-        }
         os.makedirs(path, exist_ok=True)
+        header = os.path.join(path, "header.json")
+        if os.path.exists(header):
+            # append-dim semantics: re-opening an existing archive RESUMES
+            # it (a restarted job must not clobber time_00000.npy and lose
+            # every previously appended init time)
+            with open(header) as f:
+                self.meta = json.load(f)
+            if self.meta.get("channels") != list(channels):
+                raise ValueError(
+                    f"existing archive at {path} has channels "
+                    f"{self.meta.get('channels')}, not {list(channels)}"
+                )
+        else:
+            self.meta = {
+                "dims": ["prediction_timedelta", "time", "lat", "lon",
+                         "channel"],
+                "channels": list(channels),
+                "step_hours": step_hours,
+                "lat": np.asarray(lat).tolist(),
+                "lon": np.asarray(lon).tolist(),
+                "times": [],
+            }
 
     def append(self, init_time: int, forecast: np.ndarray):
         """forecast: (prediction_timedelta, lat, lon, channel) for one init

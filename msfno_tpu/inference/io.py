@@ -124,6 +124,18 @@ def _channel_filter(variables, ordering):
     return [ordering.index(v) for v in variables], list(variables)
 
 
+def _check_filter(keep, names, channels: int) -> None:
+    """Filter indices must exist in the ACTUAL data: a reduced-size model
+    carries fewer channels than the full ordering, and a bare IndexError
+    mid-write (after earlier steps were written) is not a diagnosis."""
+    bad = [n for k, n in zip(keep, names) if k >= channels]
+    if bad:
+        raise ValueError(
+            f"output-variables {bad} sit beyond the model's {channels} "
+            "channels (reduced-size model vs full ordering)"
+        )
+
+
 class FileOutput:
     """Per-step .npy dump with a JSON manifest (role of the reference's grib
     FileOutput, outputs/__init__.py:12-72).  Supports the
@@ -140,9 +152,14 @@ class FileOutput:
 
     def write(self, data: np.ndarray, step: int = 0, **kw):
         if self.keep is not None:
+            _check_filter(self.keep, self.kept_names, data.shape[-1])
             data = data[..., self.keep]
         np.save(os.path.join(self.path, f"step_{step:04d}.npy"), data)
         self.manifest["steps"].append(int(step))
+        if kw:  # hindcast relabel metadata etc. (outputs/__init__.py:193-218)
+            self.manifest.setdefault("metadata", {}).update(
+                {k: v for k, v in kw.items() if isinstance(v, (int, float, str))}
+            )
         with open(os.path.join(self.path, "manifest.json"), "w") as f:
             json.dump(self.manifest, f)
 
@@ -174,6 +191,7 @@ class NetCDFOutput:
             field = field[0]
         h, w, c = field.shape
         if self.keep is not None:
+            _check_filter(self.keep, self.kept_names, c)
             field = field[..., self.keep]
         names = (self.kept_names or [f"var{i}" for i in range(field.shape[-1])])
         names = names[: field.shape[-1]]  # ordering may exceed the channels
@@ -184,6 +202,9 @@ class NetCDFOutput:
         )
         out = os.path.join(self.path, f"step_{step:04d}.nc")
         with netcdf_file(out, "w") as nc:
+            for k, v in kw.items():  # hindcast relabel metadata -> attrs
+                if isinstance(v, (int, float, str)):
+                    setattr(nc, k, v)
             nc.createDimension("latitude", h)
             nc.createDimension("longitude", w)
             nc.createDimension("step", 1)

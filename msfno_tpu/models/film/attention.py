@@ -79,14 +79,16 @@ class MaskedAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32  # computation dtype; params stay fp32
 
     @nn.compact
     def __call__(
         self, x: Array, valid: Array | None = None, deterministic: bool = True
     ) -> Array:
         inner = self.heads * self.dim_head
-        y = nn.LayerNorm(name="norm")(x)
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(y)
+        y = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv",
+                       dtype=self.dtype)(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads)
         q, k, v = split(q), split(k), split(v)
@@ -99,7 +101,7 @@ class MaskedAttention(nn.Module):
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = rearrange(out, "b h n d -> b n (h d)")
-        return nn.Dense(self.dim, name="to_out")(out)
+        return nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
 
 
 class FeedForward(nn.Module):
@@ -109,15 +111,31 @@ class FeedForward(nn.Module):
     hidden_dim: int
     dropout: float = 0.0
     out_dim: int | None = None
+    dtype: jnp.dtype = jnp.float32
+    # reference mae film-head init: uniform(-s, s), s = 1/sqrt(fan_in)/scale
+    # (sfnonet.py:884-889, divisor = cfg.scale_weight); None = flax default
+    init_scale: float | None = None
+
+    def _inits(self, fan_in: int):
+        if self.init_scale is None:
+            return {}
+        s = 1.0 / np.sqrt(fan_in) / self.init_scale
+
+        def u(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -s, s)
+
+        return {"kernel_init": u, "bias_init": u}
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        y = nn.LayerNorm(name="norm")(x)
-        y = nn.Dense(self.hidden_dim, name="fc1")(y)
+        y = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        y = nn.Dense(self.hidden_dim, name="fc1", dtype=self.dtype,
+                     **self._inits(self.dim))(y)
         y = nn.gelu(y, approximate=False)
         if self.dropout > 0.0:
             y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        y = nn.Dense(self.out_dim or self.dim, name="fc2")(y)
+        y = nn.Dense(self.out_dim or self.dim, name="fc2", dtype=self.dtype,
+                     **self._inits(self.hidden_dim))(y)
         return y
 
 
@@ -130,6 +148,7 @@ class Transformer(nn.Module):
     dim_head: int
     mlp_dim: int
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -137,12 +156,14 @@ class Transformer(nn.Module):
     ) -> Array:
         for i in range(self.depth):
             x = x + MaskedAttention(
-                self.dim, self.heads, self.dim_head, self.dropout, name=f"attn_{i}"
+                self.dim, self.heads, self.dim_head, self.dropout,
+                dtype=self.dtype, name=f"attn_{i}"
             )(x, valid, deterministic)
-            x = x + FeedForward(self.dim, self.mlp_dim, self.dropout, name=f"ff_{i}")(
+            x = x + FeedForward(self.dim, self.mlp_dim, self.dropout,
+                                dtype=self.dtype, name=f"ff_{i}")(
                 x, deterministic
             )
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(name="norm", dtype=self.dtype)(x)
 
 
 def masked_mean(x: Array, valid: Array) -> Array:

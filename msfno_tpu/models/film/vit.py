@@ -33,6 +33,7 @@ class ViTFilmGenerator(nn.Module):
     mlp_dim: int = 512
     nan_mask_threshold: float = 0.5
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32  # computation dtype; params stay fp32
 
     @nn.compact
     def __call__(self, sst: Array, deterministic: bool = True) -> Array:
@@ -49,9 +50,9 @@ class ViTFilmGenerator(nn.Module):
         _, valid = token_validity(tokens, self.nan_mask_threshold)
         tokens = jnp.nan_to_num(tokens)
 
-        x = nn.LayerNorm(name="patch_norm1")(tokens)
-        x = nn.Dense(self.dim, name="patch_proj")(x)
-        x = nn.LayerNorm(name="patch_norm2")(x)
+        x = nn.LayerNorm(name="patch_norm1", dtype=self.dtype)(tokens)
+        x = nn.Dense(self.dim, name="patch_proj", dtype=self.dtype)(x)
+        x = nn.LayerNorm(name="patch_norm2", dtype=self.dtype)(x)
 
         n = tokens.shape[1]
         pos = self.param(
@@ -70,6 +71,7 @@ class ViTFilmGenerator(nn.Module):
             self.dim_head,
             self.mlp_dim,
             self.dropout,
+            dtype=self.dtype,
             name="transformer",
         )(x, valid, deterministic)
 

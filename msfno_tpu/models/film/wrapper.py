@@ -45,6 +45,7 @@ class FilmWrapper(nn.Module):
                 mlp_dim=cfg.mlp_dim,
                 nan_mask_threshold=cfg.nan_mask_threshold,
                 dropout=cfg.dropout,
+                dtype=dtype,
                 name="film_gen",
             )(sst, deterministic)
         elif kind == "mae" and cfg.cls_input:
@@ -54,6 +55,7 @@ class FilmWrapper(nn.Module):
                 cfg.mlp_dim,
                 cfg.dropout,
                 out_dim=out,
+                init_scale=cfg.scale_weight,
                 name="film_head",
             )(sst, deterministic)
             return x.reshape(sst.shape[0], 2, cfg.film_layers,
@@ -72,11 +74,19 @@ class FilmWrapper(nn.Module):
                 cfg.mlp_dim,
                 cfg.dropout,
                 out_dim=out,
+                init_scale=cfg.scale_weight,
                 name="film_head",
             )(cls_enc, deterministic)
-        else:  # default: gcn_custom (main.py:130-134)
+        elif kind in ("gcn_custom", "none", None):
+            # "none"/None mean "no generator requested": the reference maps
+            # them to the gcn_custom default (main.py:130-134)
             x = GCNFilmGenerator(
                 out, cfg.embed_dim, cfg.model_depth, custom=True, dtype=dtype,
                 name="film_gen",
             )(sst, deterministic)
+        else:
+            raise ValueError(
+                f"unknown film_gen_type {kind!r}; expected gcn, gcn_custom, "
+                "transformer, mae, or none"
+            )
         return x.reshape(sst.shape[0], 2, cfg.film_layers, cfg.num_film_features)

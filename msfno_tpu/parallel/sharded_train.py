@@ -15,13 +15,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msfno_tpu.parallel.annotate import use_mesh
-from msfno_tpu.parallel.mesh import param_shardings
+from msfno_tpu.parallel.mesh import io_shardings, param_shardings
 from msfno_tpu.training.trainer import Trainer, TrainState
 
 
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place a TrainState on the mesh with canonical param shardings."""
+    """Place a TrainState on the mesh with canonical param shardings.
+
+    Optimizer-state subtrees that mirror the trainable tree (adam mu/nu,
+    momentum traces, MultiSteps acc_grads) inherit the PARAM shardings:
+    replicating them would cost ~2x the very memory the pos_embed sharding
+    exists to save (adam state for a sharded 1 GB param is 2 GB replicated).
+    Scalar leaves (counts, step) are replicated."""
+    from flax import traverse_util
+
     rep = NamedSharding(mesh, P())
+    tr_shardings = param_shardings(mesh, state.trainable)
+    tr_keys = set(traverse_util.flatten_dict(state.trainable).keys())
 
     def put_params(tree):
         shardings = param_shardings(mesh, tree)
@@ -29,12 +39,27 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
             lambda v, s: jax.device_put(v, s), tree, shardings
         )
 
+    def put_opt(node):
+        if isinstance(node, dict):
+            if set(traverse_util.flatten_dict(node).keys()) == tr_keys:
+                return jax.tree_util.tree_map(
+                    lambda v, s: jax.device_put(v, s), node, tr_shardings
+                )
+            return {k: put_opt(v) for k, v in node.items()}
+        if hasattr(node, "_fields"):  # optax NamedTuple states
+            return type(node)(*(put_opt(getattr(node, f)) for f in node._fields))
+        if isinstance(node, tuple):
+            return tuple(put_opt(x) for x in node)
+        if isinstance(node, list):
+            return [put_opt(x) for x in node]
+        if node is None:
+            return None
+        return jax.device_put(node, rep)
+
     return TrainState(
         trainable=put_params(state.trainable),
         frozen=put_params(state.frozen),
-        opt_state=jax.tree_util.tree_map(
-            lambda v: jax.device_put(v, rep), state.opt_state
-        ),
+        opt_state=put_opt(state.opt_state),
         step=jax.device_put(state.step, rep),
         film_scale=jax.device_put(state.film_scale, rep),
     )
@@ -43,8 +68,9 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 def make_sharded_train_step(trainer: Trainer, mesh: Mesh):
     """Returns (step_fn, place_batch).  step_fn(state, era5, sst) is jitted
     over the mesh; call it (and trace it) inside the returned context."""
-    era5_sharding = NamedSharding(mesh, P(None, "data", "lat", None, None))
-    sst_sharding = NamedSharding(mesh, P(None, "data", None, None, None))
+    io = io_shardings(mesh)  # single source of the canonical batch specs
+    era5_sharding = io["era5"]
+    sst_sharding = io["sst"]
 
     def place_batch(era5, sst=None):
         era5 = jax.device_put(np.asarray(era5), era5_sharding)

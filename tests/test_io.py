@@ -146,3 +146,63 @@ def test_variables_filter_without_ordering_raises(tmp_path):
         FileOutput(path=str(tmp_path / "a"), variables=["t2m"])
     with pytest.raises(ValueError):
         NetCDFOutput(path=str(tmp_path / "b"), variables=["t2m"])
+
+
+def test_climatology_leap_year_alignment():
+    """In a leap year every date after Feb 28 sits one day_of_year AHEAD of
+    its slot in the 365-slot (leap-day-dropped) array; Feb 29 maps to the
+    Feb-28 slot."""
+    clim = np.arange(365, dtype=np.float32)[:, None, None, None, None] * (
+        np.ones((1, 4, 2, 2, 1), np.float32)
+    )
+    # non-leap: Mar 1 is day_of_year 60 -> slot 59
+    assert climatology_at(clim, 60, 0)[0, 0, 0] == 59
+    # leap: Feb 29 is day_of_year 60 -> Feb-28 slot 58
+    assert climatology_at(clim, 60, 0, leap_year=True)[0, 0, 0] == 58
+    # leap: Mar 1 is day_of_year 61 -> slot 59 (was silently 60 before)
+    assert climatology_at(clim, 61, 0, leap_year=True)[0, 0, 0] == 59
+    # leap: Dec 31 is day_of_year 366 -> last slot 364
+    assert climatology_at(clim, 366, 0, leap_year=True)[0, 0, 0] == 364
+
+
+def test_forecast_writer_resumes_archive(tmp_path):
+    """Re-opening an existing archive appends instead of clobbering."""
+    from msfno_tpu.inference.forecast_writer import ForecastWriter
+
+    lat, lon = np.zeros(2), np.zeros(2)
+    w = ForecastWriter(str(tmp_path), ["a"], lat, lon)
+    w.append(2020010100, np.ones((1, 2, 2, 1), np.float32))
+    w2 = ForecastWriter(str(tmp_path), ["a"], lat, lon)
+    w2.append(2020010106, 2 * np.ones((1, 2, 2, 1), np.float32))
+    meta, arr = ForecastWriter.read(str(tmp_path))
+    assert meta["times"] == [2020010100, 2020010106]
+    assert arr.shape == (1, 2, 2, 2, 1)
+    assert arr[0, 0, 0, 0, 0] == 1 and arr[0, 1, 0, 0, 0] == 2
+    with pytest.raises(ValueError):
+        ForecastWriter(str(tmp_path), ["b"], lat, lon)
+
+
+def test_output_filter_validates_channel_count(tmp_path):
+    """A filter index beyond the data's channels errors with a diagnosis,
+    not a bare IndexError mid-write."""
+    from msfno_tpu.inference.io import FileOutput
+
+    o = FileOutput(path=str(tmp_path / "f"), variables=["c"],
+                   ordering=["a", "b", "c"])
+    with pytest.raises(ValueError):
+        o.write(np.zeros((2, 2, 2), np.float32))  # only 2 channels
+
+
+def test_hindcast_relabel_records_metadata(tmp_path):
+    """HindcastReLabel metadata must land in the wrapped writer's output
+    (reference outputs/__init__.py:193-218) instead of being swallowed."""
+    import json as _json
+
+    from msfno_tpu.inference.io import FileOutput, HindcastReLabel
+
+    inner = FileOutput(path=str(tmp_path / "h"))
+    w = HindcastReLabel(None, inner, reference_date=20200101, hdate=20100101)
+    w.write(np.zeros((2, 2, 1), np.float32), step=0)
+    m = _json.load(open(tmp_path / "h" / "manifest.json"))
+    assert m["metadata"]["reference_date"] == 20200101
+    assert m["metadata"]["hdate"] == 20100101

@@ -272,3 +272,24 @@ def test_neighbor_sum_semantics():
     np.testing.assert_allclose(
         np.asarray(neighbor_sum(jnp.asarray(v))), ref, atol=1e-5
     )
+
+
+def test_film_wrapper_unknown_kind_raises():
+    """'none'/None fall back to gcn_custom (reference main.py:130-134), but
+    a genuinely unknown generator type must raise, not silently train
+    gcn_custom."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from msfno_tpu.models.film.wrapper import FilmWrapper
+    from msfno_tpu.utils.config import FilmConfig
+
+    base = FilmConfig(film_gen_type="typo_gen", model_depth=1, embed_dim=8,
+                      mlp_dim=8, num_film_features=8, sst_shape=(8, 16),
+                      temporal_step=2)
+    sst = jnp.zeros((1, 2, 8, 16))
+    with _pytest.raises(ValueError, match="unknown film_gen_type"):
+        FilmWrapper(base).init(jax.random.PRNGKey(0), sst)
+    ok = dataclasses.replace(base, film_gen_type="none")
+    FilmWrapper(ok).init(jax.random.PRNGKey(0), sst)  # gcn_custom default

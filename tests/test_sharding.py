@@ -121,3 +121,34 @@ def test_model_with_sharded_sht_matches():
     np.testing.assert_allclose(
         np.asarray(y_sh), np.asarray(y_ref), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_opt_state_inherits_param_shardings():
+    """Adam mu/nu for a sharded param (pos_embed) must be sharded with the
+    SAME spec, not replicated — replication costs 2x the memory the param
+    sharding saves."""
+    import optax
+
+    from msfno_tpu.training.trainer import TrainState
+
+    mesh = make_mesh(8, shape=(2, 2, 2))
+    params = {
+        "pos_embed": jax.numpy.zeros((8, 4, 8)),
+        "decoder": {"kernel": jax.numpy.zeros((4, 4))},
+    }
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        trainable=params, frozen={}, opt_state=tx.init(params),
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        film_scale=jax.numpy.ones(()),
+    )
+    sharded = shard_state(state, mesh)
+    pe_spec = sharded.trainable["pos_embed"].sharding.spec
+    mu = sharded.opt_state[0].mu
+    assert mu["pos_embed"].sharding.spec == pe_spec
+    assert pe_spec != jax.sharding.PartitionSpec()  # actually sharded
+    # scalar count stays replicated
+    assert sharded.opt_state[0].count.sharding.spec == (
+        jax.sharding.PartitionSpec()
+    )
