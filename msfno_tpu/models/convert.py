@@ -184,6 +184,17 @@ def convert_sfno_state_dict(
 
     for k, v in state.items():
         if k in DROP_KEYS or any(p.search(k) for p in BUFFER_PATTERNS):
+            # one exception inside the buffer patterns: for
+            # complex_activation in (modulus, halfplane) the ComplexReLU
+            # bias is a TRAINED (hidden, 1, 1) parameter (activations.py:
+            # 15-19), not the zero scalar buffer of real/cartesian modes
+            if k.endswith(".filter.activation.bias") and _to_numpy(v).size > 1:
+                m = re.match(r"^blocks\.(\d+)\.", k)
+                if m:
+                    put(
+                        f"blocks_{m.group(1)}/filter/act_bias",
+                        _to_numpy(v).reshape(-1),
+                    )
             continue
         m = re.match(r"^encoder\.fwd\.(\d)\.(weight|bias)$", k)
         if m:
@@ -228,8 +239,13 @@ def convert_sfno_state_dict(
                 put(f"{base}/filter/wout", v)
                 continue
             if rest == "filter_layer.filter.w":
-                # SpectralConvS2 (out, in, K, 2) -> (K, in, out, 2)
-                put(f"{base}/filter/w", np.transpose(v, (2, 1, 0, 3)))
+                if v.ndim == 5:
+                    # SpectralConv2d (out, in, L, M, 2) -> (L, M, in, out, 2)
+                    # (reference layers.py:290-295 w/ contract "bixy,kixy")
+                    put(f"{base}/filter/w", np.transpose(v, (2, 3, 1, 0, 4)))
+                else:
+                    # SpectralConvS2 (out, in, K, 2) -> (K, in, out, 2)
+                    put(f"{base}/filter/w", np.transpose(v, (2, 1, 0, 3)))
                 continue
             m2 = re.match(r"^(inner_skip|outer_skip)\.(weight|bias)$", rest)
             if m2:
@@ -265,6 +281,21 @@ def convert_sfno_state_dict(
             report.append(k)
             continue
         report.append(k)
+
+    # num_layers guard: a checkpoint with a different block count would
+    # otherwise convert silently and fail much later as a shape/scope
+    # mismatch during load
+    got_blocks = {
+        int(m.group(1))
+        for key in flat
+        for m in [re.match(r"^blocks_(\d+)/", key)]
+        if m
+    }
+    if got_blocks and len(got_blocks) != num_layers:
+        raise ValueError(
+            f"checkpoint has {len(got_blocks)} blocks, model expects "
+            f"{num_layers} (pass num_layers= to match the checkpoint)"
+        )
 
     params = traverse_util.unflatten_dict(flat, sep="/")
     return {"params": params, "unconverted": report}

@@ -22,7 +22,6 @@ from msfno_tpu.models.sfno.layers import (
     InstanceNorm,
     Mlp,
     SpatialLayerNorm,
-    SpectralAttention2d,
     SpectralAttentionS2,
     SpectralConv2d,
     SpectralConvS2,
@@ -62,6 +61,7 @@ def make_filter(
     rank: int,
     use_pallas: bool = False,
     mxu_dtype: str = "float32",
+    drop_rate: float = 0.0,
     name: str = "filter",
 ):
     """SpectralFilterLayer mux (reference sfnonet.py:60-133)."""
@@ -73,6 +73,7 @@ def make_filter(
             hidden_size_factor=mlp_ratio,
             complex_activation=complex_activation,
             spectral_layers=spectral_layers,
+            drop_rate=drop_rate,
             use_pallas=use_pallas,
             mxu_dtype=mxu_dtype,
             name=name,
@@ -88,6 +89,7 @@ def make_filter(
             hidden_size_factor=mlp_ratio,
             complex_activation=complex_activation,
             spectral_layers=spectral_layers,
+            drop_rate=drop_rate,
             name=name,
         )
     if filter_type == "linear" and spectral_transform == "sht":
@@ -164,6 +166,7 @@ class FourierNeuralOperatorBlock(nn.Module):
             self.rank,
             self.use_pallas,
             self.mxu_dtype,
+            drop_rate=self.drop_rate,
         )
         norm0 = make_norm(self.norm_kind, self.input_shape, "norm0")
         if (
@@ -176,10 +179,13 @@ class FourierNeuralOperatorBlock(nn.Module):
             # SpectralAttentionS2.norm_affine): skips materializing the
             # normalized field — one full-res read + write saved on block 0
             a, b = norm0(x, True)
-            x = filt(x, norm_affine=(a, b))
+            x = filt(x, norm_affine=(a, b), deterministic=deterministic)
         else:
             x = norm0(x)
-            x = filt(x)
+            if self.filter_type == "non-linear":
+                x = filt(x, deterministic=deterministic)
+            else:
+                x = filt(x)
 
         if self.inner_skip == "linear":
             x = x + nn.Dense(

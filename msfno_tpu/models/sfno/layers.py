@@ -256,6 +256,7 @@ class SpectralAttentionS2(nn.Module):
     complex_activation: str = "real"
     spectral_layers: int = 1
     scale: float = 0.02
+    drop_rate: float = 0.0  # per-spectral-layer dropout (ref layers.py:491)
     use_pallas: bool = False  # fused VMEM-resident kernel (ops/pallas)
     mxu_dtype: str = "float32"
 
@@ -265,7 +266,8 @@ class SpectralAttentionS2(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: Array, norm_affine=None) -> Array:
+    def __call__(self, x: Array, norm_affine=None,
+                 deterministic: bool = True) -> Array:
         in_dtype = x.dtype
         hidden = int(self.hidden_size_factor * self.embed_dim)
         forward_transform, inverse_transform = self._transforms()
@@ -305,8 +307,17 @@ class SpectralAttentionS2(nn.Module):
         wout = self.param(
             "wout", scaled_normal_init(self.scale), (hidden, self.embed_dim, 2)
         )
+        # modulus/halfplane ComplexReLU carries a TRAINED bias (reference
+        # activations.py:15-19, bias_shape=(hidden, 1, 1) -> channels-last
+        # (hidden,)); for real/cartesian it is a zero buffer and dropped
+        act_bias = (
+            self.param("act_bias", nn.initializers.zeros, (hidden,))
+            if self.complex_activation in ("modulus", "halfplane")
+            else None
+        )
+        dropping = self.drop_rate > 0.0 and not deterministic
 
-        if self.use_pallas and self.complex_activation == "real":
+        if self.use_pallas and self.complex_activation == "real" and not dropping:
             from msfno_tpu.ops.pallas.spectral_mlp import spectral_mlp
 
             x = spectral_mlp(x, ws + [wout], mxu_dtype=self.mxu_dtype)
@@ -316,7 +327,12 @@ class SpectralAttentionS2(nn.Module):
             prec = _matmul_precision(self.mxu_dtype)
             for layer in range(self.spectral_layers):
                 x = compl_mul(x, to_complex(ws[layer]), precision=prec)
-                x = complex_relu(x, mode=self.complex_activation)
+                x = complex_relu(x, mode=self.complex_activation,
+                                 bias=act_bias)
+                if dropping:
+                    # reference applies Dropout on the complex activation
+                    # after each spectral layer (layers.py:491, 506)
+                    x = nn.Dropout(self.drop_rate, deterministic=False)(x)
             x = compl_mul(x, to_complex(wout), precision=prec)
         x = annotate_spectral(x)
 
@@ -382,29 +398,11 @@ class SpectralConvS2(nn.Module):
         return y.astype(in_dtype)
 
 
-class SpectralAttention2d(nn.Module):
-    """FFT-grid analogue of SpectralAttentionS2 (layers.py:430-533)."""
-
-    forward_transform: Callable
-    inverse_transform: Callable
-    embed_dim: int
-    hidden_size_factor: float = 2.0
-    complex_activation: str = "real"
-    spectral_layers: int = 1
-    scale: float = 0.02
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        return SpectralAttentionS2(
-            self.forward_transform,
-            self.inverse_transform,
-            self.embed_dim,
-            self.hidden_size_factor,
-            self.complex_activation,
-            self.spectral_layers,
-            self.scale,
-            name="inner",
-        )(x)
+# NOTE: the reference's SpectralAttention2d (layers.py:430-533) has no
+# separate class here: the spectral MLP is transform-agnostic, so make_filter
+# (blocks.py) builds SpectralAttentionS2 directly for the fft path — keeping
+# the param scope at filter/w* so converted reference weights land in the
+# same tree (a wrapper with an inner sub-scope would break that silently).
 
 
 class SpectralConv2d(nn.Module):

@@ -98,15 +98,6 @@ class _DTypeRef:
         self.name = name
 
 
-class _TorchModuleProxy:
-    """Resolves ``torch.float32``-style attribute lookups during unpickling."""
-
-    def __getattr__(self, name):
-        if name in _DTYPE_NAMES:
-            return _DTypeRef(name)
-        raise AttributeError(name)
-
-
 class _Placeholder:
     """Inert stand-in for unknown globals: absorbs any reduce without
     executing code and records what it replaced."""
@@ -258,11 +249,8 @@ def _read_legacy(f: BinaryIO) -> Any:
             return load_storage(root_key, dtype_spec, numel)
 
     # tensors come back holding the mutable [dtype, numel, data] handles;
-    # rebuild lazily after reading the raw section
-    deferred: list = []
-
+    # materialize() later walks the unpickled object tree and rebuilds them
     def deferred_rebuild(storage_handle, *args):
-        deferred.append((storage_handle, args))
         return (storage_handle, args)
 
     class DeferredUnpickler(LegacyUnpickler):

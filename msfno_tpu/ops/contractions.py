@@ -83,13 +83,22 @@ def compl_contract_tril(x: jax.Array, w: jax.Array) -> jax.Array:
 
 def contract_tt(x: jax.Array, g1: jax.Array, g2: jax.Array, g3: jax.Array) -> jax.Array:
     """Tensor-train compressed per-mode contraction (reference contract_tt,
-    contractions.py:62-64 via compl_ttc1/2_c_fwd).
+    contractions.py:61-64 via compl_ttc1/2_c_fwd: out[b,o,t] =
+    sum_{i,c,j} g1[o,i] g2[i,c,j] g3[j,t] x[b,c,t]).
 
-    x: (..., K, C_in); g1: (C_in, R), g2: (R, C_out, R), g3: (R, K), complex.
-    Returns (..., K, C_out).
-    """
-    # y[j, ..., k, c_in] = g3[j, k] * x[..., k, c_in]
-    y = _ceinsum("rk,...ki->r...ki", g3, x)
-    # out[..., k, o] = sum_{i, r, j} g1[i, r] g2[r, o, j] y[j, ..., k, i]
-    t = _ceinsum("ir,roj->ioj", g1, g2)
-    return _ceinsum("j...ki,ioj->...ko", y, t)
+    AXIS ROLES (reference einsum "oi,icj,jbct->bot"): g1's FIRST axis is the
+    OUTPUT channel and g2's middle axis is the INPUT channel — the per-mode
+    mixing matrix is M_k = g1 @ (sum_j g3[j,k] g2[:,:,j]), applied as
+    M_k @ x_k.  (An earlier port used the transposed roles, i.e. M_k^T —
+    silently wrong for converted reference TT checkpoints.)
+
+    x: (..., K, C); g1: (C, R) [o,i], g2: (R, C, R) [i,c,j], g3: (R, K)
+    [j,k], complex.  Returns (..., K, C).
+
+    Contraction order: x is absorbed into g2 FIRST, giving a (..., K, R, R)
+    peak intermediate — R^2/(R*C) = half the reference op order's
+    (R, B, C, K) blow-up (and the minimum possible: g2 binds all three
+    summation indices, so some K x R x R join is unavoidable)."""
+    z = _ceinsum("icj,...kc->...kij", g2, x)
+    u = _ceinsum("...kij,jk->...ki", z, g3)
+    return _ceinsum("...ki,oi->...ko", u, g1)

@@ -123,3 +123,11 @@ def import_reference_sfnonet():
     import importlib
 
     return importlib.import_module("MSFNO.Models.sfno.sfnonet")
+
+
+def import_reference_contractions():
+    """Import the reference contraction kernels (installing stubs first)."""
+    install_stubs()
+    import importlib
+
+    return importlib.import_module("MSFNO.Models.sfno.contractions")

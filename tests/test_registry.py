@@ -141,7 +141,7 @@ class TestConverter:
         sd = {"blocks.0.filter_layer.filter.w": np.arange(2 * 3 * 4 * 2).reshape(
             2, 3, 4, 2
         ).astype(np.float32)}
-        out = convert_sfno_state_dict(sd)
+        out = convert_sfno_state_dict(sd, num_layers=1)
         w = out["params"]["blocks_0"]["filter"]["w"]
         assert w.shape == (4, 3, 2, 2)
         np.testing.assert_array_equal(
@@ -196,7 +196,7 @@ class TestTorchCheckpointIngestion:
         }
         path = str(tmp_path / "weights.tar")
         torch.save({"model_state": sd}, path)
-        out = load_ecmwf_weights_tar(path)
+        out = load_ecmwf_weights_tar(path, num_layers=1)
         assert out["unconverted"] == []
         p = out["params"]
         assert p["pos_embed"].shape == (8, 16, e)
