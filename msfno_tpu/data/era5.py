@@ -147,6 +147,18 @@ class ZarrBackend:  # pragma: no cover - requires xarray/zarr
         self.ds_v100 = xr.open_zarr(v100_path, chunks=None) if v100_path else None
         self.ds_sst = xr.open_zarr(sst_path, chunks=None) if sst_path else None
         self.ds_rh = xr.open_zarr(rh_path, chunks=None) if rh_path else None
+        # the CDS rh store starts decades after the WB2 ERA5 store; the
+        # reference hard-codes dataset_idx_offset=29220 (1959->1979 in 6h
+        # steps, data.py:176).  Derived from the time axes instead: same
+        # number for those stores, correct for any others.
+        self.rh_offset = 0
+        if self.ds_rh is not None:
+            import numpy as _np
+
+            dt = _np.datetime64(self.ds_rh.time.values[0]) - _np.datetime64(
+                self.ds.time.values[0]
+            )
+            self.rh_offset = int(dt / _np.timedelta64(6, "h"))
         self.coarse_level = coarse_level
         self.sfc_names = [ERA5_SFC_NAMES[k] for k in
                           ("10u", "10v", "2t", "sp", "msl", "tcwv")]
@@ -165,7 +177,13 @@ class ZarrBackend:  # pragma: no cover - requires xarray/zarr
         v100 = self.ds_v100.isel(time=idx)["v100"].to_numpy()
         if self.ds_rh is not None:
             pl = s[self.pl_names].sel(level=self.levels).to_array().to_numpy()
-            r = self.ds_rh.isel(time=idx).to_array().to_numpy()[0]
+            ridx = idx - self.rh_offset
+            if ridx < 0:
+                raise IndexError(
+                    f"time index {idx} predates the rh store (offset "
+                    f"{self.rh_offset} steps; reference data.py:176)"
+                )
+            r = self.ds_rh.isel(time=ridx).to_array().to_numpy()[0]
         else:
             pl = s[self.pl_names + [self.rh_name]].sel(
                 level=self.levels
@@ -219,7 +237,8 @@ class ERA5Dataset:
         else:
             self._pad_past, future_needed = 0, s
         last_needed = self._pad_past + future_needed
-        self.end_idx = min(self.end_idx or n, n) - last_needed
+        end = n if self.end_idx is None else self.end_idx  # 0 is explicit
+        self.end_idx = min(end, n) - last_needed
         if self.end_idx <= self.start_idx:
             raise ValueError("dataset too short for the requested windows")
 
@@ -387,8 +406,10 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def make_batch(b: int) -> Batch:
-            idcs = [int(order[b * self.batch_size + j])
-                    for j in range(self.batch_size)]
+            # final batch may be partial when drop_last=False
+            lo = b * self.batch_size
+            idcs = [int(i) for i in
+                    order[lo : lo + self.batch_size]]
             if hasattr(self.dataset, "get_batch"):
                 # bulk path: one (native) batch read for era5 + deduped SST
                 return self.dataset.get_batch(idcs)
@@ -404,7 +425,13 @@ class PrefetchLoader:
             for b in range(worker_id, nb, self.num_workers):
                 if stop.is_set():
                     return
-                q.put((b, make_batch(b)))
+                try:
+                    q.put((b, make_batch(b)))
+                except Exception as e:  # propagate: a swallowed worker
+                    # error would leave the consumer blocked on q.get()
+                    # forever (received < nb never resolves)
+                    q.put((-1, e))
+                    return
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -419,6 +446,10 @@ class PrefetchLoader:
             while nxt < nb:
                 while nxt not in pending and received < nb:
                     b, batch = q.get()
+                    if b < 0:
+                        raise RuntimeError(
+                            "PrefetchLoader worker failed"
+                        ) from batch
                     pending[b] = batch
                     received += 1
                 yield pending.pop(nxt)

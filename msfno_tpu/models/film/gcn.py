@@ -98,7 +98,12 @@ class GraphConvolution(nn.Module):
         support = nn.Dense(
             self.features,
             use_bias=False,
-            kernel_init=nn.initializers.xavier_uniform(),
+            # reference: xavier_uniform with the leaky_relu(0.01) gain
+            # (gcn/layers.py:31) = sqrt(2/(1+0.01^2)) x variance ~2x;
+            # variance_scaling(scale=gain^2, fan_avg, uniform) == that
+            kernel_init=nn.initializers.variance_scaling(
+                2.0 / (1.0 + 0.01**2), "fan_avg", "uniform"
+            ),
             dtype=self.dtype,
             name="weight",
         )(x)

@@ -121,7 +121,16 @@ class ContextCast(nn.Module):
         #   numerically identical for every kept token and the class token
         #   (softmax never sees masked keys), verified in tests/test_models.py.
         if rng is None:
-            rng = jax.random.PRNGKey(0)
+            # only legitimate with no masking (film-generator inference at
+            # mask_ratio=0); a silent PRNGKey(0) fallback during pretraining
+            # would freeze ONE mask pattern across every batch of every
+            # epoch — the model overfits it without any warning
+            if not (isinstance(mask_ratio, (float, int)) and mask_ratio == 0.0):
+                raise ValueError(
+                    "ContextCast: mask_ratio > 0 (or traced) requires an "
+                    "explicit rng"
+                )
+            rng = jax.random.PRNGKey(0)  # unused: nothing is masked
         noise = jax.random.uniform(rng, (b, n))
         dynamic = not isinstance(mask_ratio, (float, int))
         if dynamic:

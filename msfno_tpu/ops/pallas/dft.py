@@ -58,12 +58,6 @@ def _synthesis_kernel(mxu_dtype):
     return kernel
 
 
-def _flatten_batch(x):
-    """(..., H, W/M, C) -> (N, W/M, C) merging leading dims into H."""
-    lead = x.shape[:-2]
-    return x.reshape(-1, *x.shape[-2:]), lead
-
-
 @functools.partial(jax.jit, static_argnames=("mxu_dtype", "interpret"))
 def dft_analysis(
     x: jax.Array,

@@ -150,13 +150,36 @@ class Trainer:
 
     # -------------------------------------------------------- forward/loss
 
-    def _apply(self, params, x, sst, scale):
-        variables = {"params": params}
-        if self.filmed:
-            return self.model.apply(variables, x, sst, scale)
-        return self.model.apply(variables, x)
+    @property
+    def _has_dropout(self) -> bool:
+        c = self.cfg
+        film_drop = c.film.dropout if c.film is not None else 0.0
+        return (c.drop_rate > 0.0 or c.drop_path_rate > 0.0
+                or film_drop > 0.0)
 
-    def _rollout_loss(self, params, era5, sst, scale):
+    def _train_rngs(self, step):
+        """Per-step dropout/droppath PRNGs, folded from the config seed so
+        the jitted step stays pure and reproducible."""
+        base = jax.random.fold_in(
+            jax.random.PRNGKey(self.tcfg.seed), step
+        )
+        kd, kp = jax.random.split(base)
+        return {"dropout": kd, "droppath": kp}
+
+    def _apply(self, params, x, sst, scale, rngs=None):
+        """rngs non-None => training mode (deterministic=False): without
+        this, configs with drop_rate/dropout > 0 would silently train with
+        all regularization disabled (the flax modules default
+        deterministic=True and apply() would lack the dropout PRNG)."""
+        variables = {"params": params}
+        det = rngs is None
+        if self.filmed:
+            return self.model.apply(
+                variables, x, sst, scale, deterministic=det, rngs=rngs
+            )
+        return self.model.apply(variables, x, deterministic=det, rngs=rngs)
+
+    def _rollout_loss(self, params, era5, sst, scale, rngs=None):
         """Multi-step autoregressive loss (reference train.py:146-197).
 
         era5: (S, B, H, W, C) raw; sst: (S, B, T, Hs, Ws) or None.
@@ -177,7 +200,12 @@ class Trainer:
             sst_step = (
                 self.sst_normalizer(sst[step + 1]) if sst is not None else None
             )
-            out = self._apply(params, inp, sst_step, scale)
+            step_rngs = (
+                {k: jax.random.fold_in(v, step) for k, v in rngs.items()}
+                if rngs is not None
+                else None
+            )
+            out = self._apply(params, inp, sst_step, scale, rngs=step_rngs)
             if step % (skip + 1) == 0:
                 gt = self.normalizer(era5[step + 1])
                 l = self.loss_fn(out, gt) / (ms + 1) * t.discount_factor**step
@@ -187,9 +215,13 @@ class Trainer:
         return total, jnp.stack(per_step)
 
     def _train_step_impl(self, state: TrainState, era5, sst):
+        rngs = self._train_rngs(state.step) if self._has_dropout else None
+
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
-            return self._rollout_loss(params, era5, sst, state.film_scale)
+            return self._rollout_loss(
+                params, era5, sst, state.film_scale, rngs=rngs
+            )
 
         (loss, per_step), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable
@@ -405,11 +437,19 @@ class Trainer:
             for c in range(mean_var.shape[1]):
                 metrics[f"MSE var{c} step={k}"] = float(mean_var[k, c])
         if self.filmed and batches and batches[0].sst is not None:
-            # gamma/beta statistics (reference valid_log, train.py:704-736)
-            from msfno_tpu.models.film.wrapper import FilmWrapper
+            # gamma/beta statistics (reference valid_log, train.py:704-736).
+            # Jitted and cached: an eager FilmWrapper.apply dispatches the
+            # whole generator op-by-op (~3-5 ms per op over the remote-TPU
+            # relay — the same pathology init avoids by jitting model.init)
+            if not hasattr(self, "_film_stats_fn"):
+                from msfno_tpu.models.film.wrapper import FilmWrapper
 
-            film_mod = FilmWrapper(self.cfg.film).apply(
-                {"params": state.params["film_gen"]},
+                wrapper = FilmWrapper(self.cfg.film)
+                self._film_stats_fn = jax.jit(
+                    lambda p, s: wrapper.apply({"params": p}, s)
+                )
+            film_mod = self._film_stats_fn(
+                state.params["film_gen"],
                 jnp.asarray(self.sst_normalizer(batches[0].sst[0])),
             )
             metrics["gamma mean"] = float(jnp.mean(film_mod[:, 0]))

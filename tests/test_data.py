@@ -331,3 +331,33 @@ class TestNativeLoaderStrictness:
             np.save(p, ref)
             out = load_npy_batch([p], item_shape=(2, 3, 4))
             np.testing.assert_array_equal(out[0], ref.astype(np.float32))
+
+
+class TestPrefetchLoaderEdges:
+    def test_partial_final_batch(self, npy_store):
+        """drop_last=False: the trailing partial batch is yielded (it used
+        to index past the order array and hang the consumer forever)."""
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        n = len(ds)
+        loader = PrefetchLoader(ds, batch_size=n - 1, shuffle=False,
+                                drop_last=False, shard_id=0, num_shards=1)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2
+        assert batches[0].era5.shape[1] == n - 1
+        assert batches[1].era5.shape[1] == 1
+
+    def test_worker_error_propagates(self, npy_store):
+        """A failing worker must raise in the consumer, not hang it."""
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+
+        class Broken:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                raise OSError("corrupt file")
+
+        loader = PrefetchLoader(Broken(), batch_size=1, shard_id=0,
+                                num_shards=1)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            list(loader.epoch(0))

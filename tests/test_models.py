@@ -293,3 +293,17 @@ def test_film_wrapper_unknown_kind_raises():
         FilmWrapper(base).init(jax.random.PRNGKey(0), sst)
     ok = dataclasses.replace(base, film_gen_type="none")
     FilmWrapper(ok).init(jax.random.PRNGKey(0), sst)  # gcn_custom default
+
+
+def test_mae_masking_without_rng_raises():
+    """mask_ratio > 0 with no rng must raise: the old silent PRNGKey(0)
+    fallback froze one mask pattern across all of pretraining."""
+    import pytest as _pytest
+
+    from msfno_tpu.models.film.mae import ContextCast
+
+    m = ContextCast(patch_size=(2, 2, 2), encoder_dim=16, decoder_dim=16)
+    sst = jnp.zeros((1, 2, 4, 4))
+    with _pytest.raises(ValueError, match="requires an explicit rng"):
+        m.init(jax.random.PRNGKey(0), sst, mask_ratio=0.5)
+    m.init(jax.random.PRNGKey(0), sst, mask_ratio=0.0)  # inference path ok

@@ -484,3 +484,27 @@ class TestSpectralLossTruncation:
         val = float(loss(jnp.ones((1, 8, 16, 2)), jnp.zeros((1, 8, 16, 2))))
         assert np.isfinite(val)
         assert _loss_sht(8, 16, None, None).lmax == 8
+
+
+def test_dropout_active_during_training():
+    """drop_rate > 0 must actually drop during train steps: the same batch
+    at two different optimizer steps sees different dropout masks, and the
+    rollout loss under rngs differs from the deterministic loss."""
+    import dataclasses
+
+    from msfno_tpu.training.trainer import Trainer
+    from msfno_tpu.utils.config import TrainConfig
+
+    cfg = dataclasses.replace(small_cfg(film=False), drop_rate=0.5)
+    tr = Trainer(cfg, TrainConfig(batch_size=1))
+    state = tr.init_state()
+    from msfno_tpu.data.synthetic import gen_batch
+
+    b = gen_batch(cfg, 1, 0, seed=0)
+    params = state.params
+    det = float(tr._rollout_loss(params, b.era5, None, 1.0)[0])
+    l0 = float(tr._rollout_loss(params, b.era5, None, 1.0,
+                                rngs=tr._train_rngs(0))[0])
+    l1 = float(tr._rollout_loss(params, b.era5, None, 1.0,
+                                rngs=tr._train_rngs(1))[0])
+    assert l0 != det and l0 != l1
