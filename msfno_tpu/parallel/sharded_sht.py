@@ -94,11 +94,8 @@ class ShardedRealSHT:
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        w_full = jnp.asarray(self.weights)
         dft = jnp.asarray(self.dft)
-        p = self.p
         m_pad = self.m_pad
-        m_local = m_pad // p
         axis = self.axis
         prec = _matmul_precision(self.sht.mxu_dtype)
         if x.shape[-3] != self.h_pad:
@@ -106,8 +103,15 @@ class ShardedRealSHT:
             widths[-3] = (0, self.h_pad - x.shape[-3])
             x = jnp.pad(x, widths)
 
-        def local(xb):
-            # xb: (B, H_pad/P, W, C); one matmul -> stacked [re | im] modes
+        def local(xb, w):
+            # xb: (B, H_pad/P, W, C); one matmul -> stacked [re | im] modes.
+            # w: this device's (M_pad/P, L, H_pad) Legendre chunk — the
+            # weights ride the shard_map in_specs (sharded over m) instead
+            # of a closed-over full tensor + dynamic_slice, which would
+            # REPLICATE ~1.5 GB of fp32 Legendre weights per chip at full
+            # resolution (the very memory this module exists to scale).
+            # The merged DFT matrix stays a closure constant: (W, 2M) fp32
+            # is ~8.5 MB and every h-shard needs all of it.
             f = jnp.einsum(
                 "bhwc,wm->bhmc", xb.astype(jnp.float32), dft,
                 precision=prec, preferred_element_type=jnp.float32,
@@ -117,9 +121,6 @@ class ShardedRealSHT:
             fhat = jax.lax.all_to_all(
                 fhat, axis, split_axis=2, concat_axis=1, tiled=True
             )  # (B, H_pad, M_pad/P, C)
-            # my m-chunk of the weights
-            mi = jax.lax.axis_index(axis)
-            w = jax.lax.dynamic_slice_in_dim(w_full, mi * m_local, m_local, 0)
             re = jnp.einsum("mlh,bhmc->blmc", w, jnp.real(fhat),
                             precision=prec)
             im = jnp.einsum("mlh,bhmc->blmc", w, jnp.imag(fhat),
@@ -129,10 +130,10 @@ class ShardedRealSHT:
         return shard_map(
             local,
             mesh=self.mesh,
-            in_specs=P(None, self.axis, None, None),
+            in_specs=(P(None, self.axis, None, None), P(self.axis, None, None)),
             out_specs=P(None, None, self.axis, None),
             check_vma=False,
-        )(x)
+        )(x, jnp.asarray(self.weights))
 
 
 class ShardedInverseRealSHT:
@@ -158,18 +159,15 @@ class ShardedInverseRealSHT:
         )
 
     def __call__(self, coeffs: jax.Array) -> jax.Array:
-        p_full = jnp.asarray(self.pct)
         dft = jnp.asarray(self.dft)
-        p = self.p
-        m_local = self.m_pad // p
         axis = self.axis
         nlat = self.isht.nlat
         prec = _matmul_precision(self.isht.mxu_dtype)
 
-        def local(cb):
-            # cb: (B, L, M_pad/P, C) for my m-chunk
-            mi = jax.lax.axis_index(axis)
-            w = jax.lax.dynamic_slice_in_dim(p_full, mi * m_local, m_local, 0)
+        def local(cb, w):
+            # cb: (B, L, M_pad/P, C); w: this device's (M_pad/P, L, H_pad)
+            # synthesis-pct chunk (m-sharded via in_specs — see the forward
+            # transform's rationale)
             re = jnp.einsum("mlh,blmc->bhmc", w, jnp.real(cb),
                             precision=prec)
             im = jnp.einsum("mlh,blmc->bhmc", w, jnp.imag(cb),
@@ -188,10 +186,13 @@ class ShardedInverseRealSHT:
         out = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=P(None, None, self.axis, None),
+            in_specs=(
+                P(None, None, self.axis, None),
+                P(self.axis, None, None),
+            ),
             out_specs=P(None, self.axis, None, None),
             check_vma=False,
-        )(coeffs)
+        )(coeffs, jnp.asarray(self.pct))
         if self.h_pad != nlat:
             out = out[..., :nlat, :, :]
         return out
