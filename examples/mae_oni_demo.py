@@ -14,6 +14,13 @@ Run: python examples/mae_oni_demo.py  [--steps 60] [--fast]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable as `python examples/<demo>.py` from anywhere: make the repo root
+# importable without requiring an installed package or PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

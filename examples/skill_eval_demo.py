@@ -11,6 +11,13 @@ Run: python examples/skill_eval_demo.py [--out ./demo_out]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable as `python examples/<demo>.py` from anywhere: make the repo root
+# importable without requiring an installed package or PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys
