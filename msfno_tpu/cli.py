@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
                            "(reference past_sst, data.py:208-211)")
     data.add_argument("--climatology-path", default=None,
                       help=".npy climatology for --eval-model skill scores")
+    data.add_argument("--no-shuffle", action="store_true",
+                      help="disable training-loader shuffling (main.py:580)")
+    data.add_argument("--batch-size-validation", type=int, default=None,
+                      help="validation batch size (defaults to --batch-size; "
+                           "main.py:778)")
+    data.add_argument("--cls", default=None,
+                      help=".npy of precomputed MAE cls tokens "
+                           "(lin-probe input, main.py:554)")
+    data.add_argument("--oni-path", default=None,
+                      help=".npy of ONI indices (lin-probe target, "
+                           "main.py:560)")
 
     run = p.add_argument_group("Inference Parameters")
     run.add_argument("--lead-time", type=int, default=24, help="hours")
@@ -75,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--output-variables", default=None,
                      help="JSON list of variables to write "
                           "(reference output-variables.json)")
+    run.add_argument("--hindcast", action="store_true",
+                     help="relabel outputs with hindcast metadata")
+    run.add_argument("--hindcast-reference-year", type=int, default=None,
+                     help="reference year for hindcast relabeling "
+                          "(main.py:626)")
 
     tr = p.add_argument_group("Training Parameters")
     tr.add_argument("--learning-rate", type=float, default=5e-4)
@@ -94,6 +110,17 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--validation-step-skip", type=int, default=0)
     tr.add_argument("--save-checkpoint-interval", type=int, default=1)
     tr.add_argument("--retrain-film", action="store_true")
+    tr.add_argument("--dropout", type=float, default=0.0,
+                    help="film-generator dropout (main.py:864)")
+    tr.add_argument("--set-epoch", type=int, default=None,
+                    help="start the epoch loop here (overrides the "
+                         "checkpoint's epoch; main.py:940)")
+    tr.add_argument("--sfno-weights", default=None,
+                    help="pretrained SFNO backbone weights (.tar/.npz) to "
+                         "load before film fine-tuning (main.py:410)")
+    tr.add_argument("--batch-size-step", type=int, default=0,
+                    help="linear growth step for --test-batch-size "
+                         "(0 = geometric 1,2,4,...; main.py:907)")
     tr.add_argument("--resume-optimizer", action="store_true",
                     help="restore optimizer state from --resume-checkpoint "
                          "(reference train.py:398-402)")
@@ -230,6 +257,8 @@ def configs_from_args(args):
             nan_mask_threshold=args.nan_mask_threshold,
             num_film_features=args.embed_dim,
             scale_weight=args.scale_weight,
+            dropout=args.dropout,
+            cls_input=bool(args.cls),
         )
     model_cfg = SFNOConfig(
         img_size=tuple(args.img_size),
@@ -359,11 +388,14 @@ def build_loaders(args, model_cfg, train_cfg):
         start_idx=va_s, end_idx=va_e, **common,
     )
     train_loader = PrefetchLoader(
-        train_ds, batch_size=train_cfg.batch_size, shuffle=True,
+        train_ds, batch_size=train_cfg.batch_size,
+        shuffle=not args.no_shuffle,
         seed=args.seed, num_workers=args.training_workers,
     )
     val_prefetch = PrefetchLoader(
-        val_ds, batch_size=train_cfg.batch_size, shuffle=False,
+        val_ds,
+        batch_size=args.batch_size_validation or train_cfg.batch_size,
+        shuffle=False,
         num_workers=args.training_workers,
     )
 
@@ -485,6 +517,29 @@ def main(argv=None) -> int:
                      if k in ("film_gen", "film_head")}
         wrapper.params = merge_film_checkpoint(wrapper.params, film_only)
 
+    if args.train and args.model == "mae" and args.model_version == "lin-probe":
+        # linear probe: ridge-fit precomputed MAE cls tokens -> ONI index
+        # (reference Linear_probing, mae/model.py:177-276; --cls/--oni-path
+        # inputs main.py:554-562; baselines LinearProbingMAE.ipynb)
+        import numpy as np
+
+        if not (args.cls and args.oni_path):
+            log.error("lin-probe needs --cls and --oni-path .npy files")
+            return 1
+        cls_tokens = np.load(args.cls)
+        oni = np.load(args.oni_path).reshape(-1)
+        n = min(len(cls_tokens), len(oni))
+        cls_tokens, oni = cls_tokens[:n], oni[:n]
+        split = max(int(n * 0.8), 1)
+        wrapper.fit(cls_tokens[:split], oni[:split])
+        mae = wrapper.mae_metric(cls_tokens[split:], oni[split:])
+        clim = float(np.mean(np.abs(oni[split:] - np.mean(oni[:split]))))
+        wrapper.save_checkpoint(
+            os.path.join(args.output_path, "checkpoint_linprobe.npz")
+        )
+        print(json.dumps({"lin_probe_mae": mae, "climatology_mae": clim}))
+        return 0
+
     if args.train and args.model == "mae" and args.model_version != "lin-probe":
         # MAE SST pretraining (reference mae --train, train.py:318-339):
         # stochastic-mask CRPS reconstruction over SST history windows
@@ -547,12 +602,54 @@ def main(argv=None) -> int:
             ),
         )
         if args.test_batch_size:
-            best = trainer.test_batch_size()
+            if args.batch_size_step > 0:
+                # reference grows linearly by batch_size_step until OOM
+                # (train.py:1296-1337)
+                cands = tuple(
+                    args.batch_size_step * k for k in range(1, 17)
+                )
+                best = trainer.test_batch_size(cands)
+            else:
+                best = trainer.test_batch_size()
             print(json.dumps({"max_batch_size": best}))
             return 0
         state = trainer.init_state()
+        if args.sfno_weights:
+            # pretrained backbone for film fine-tuning (reference
+            # sfno-weights, main.py:410 + load path sfno/model.py:207-271):
+            # backbone params come from the checkpoint, the film generator
+            # keeps its fresh init, and the usual trainable/frozen split
+            # applies on the merged tree
+            import dataclasses as _dc
+
+            from msfno_tpu.training.partition import (
+                film_trainable_predicate,
+                merge_params,
+                split_params,
+            )
+
+            backbone = wrapper.load_model(args.sfno_weights)
+            full = merge_params(state.trainable, state.frozen)
+            # overlay backbone keys onto the fresh tree (film generator
+            # keys absent from a pure-SFNO checkpoint keep their init),
+            # then re-split trainable/frozen
+            from flax import traverse_util as _tu
+
+            flat = dict(_tu.flatten_dict(full))
+            flat.update(_tu.flatten_dict(backbone))
+            full = _tu.unflatten_dict(flat)
+            if model_cfg.film is not None:
+                pred = film_trainable_predicate(
+                    train_cfg.retrain_film, model_cfg.num_layers
+                )
+                tr_p, fr_p = split_params(full, pred)
+            else:
+                tr_p, fr_p = full, {}
+            state = _dc.replace(state, trainable=tr_p, frozen=fr_p)
         if args.resume_checkpoint:
             state = restore_train_state(state, trainer, args, model_cfg, train_cfg)
+        if args.set_epoch is not None:
+            trainer.start_epoch = args.set_epoch
         if args.test_performance:
             sec = trainer.test_model_speed(state)
             print(json.dumps({"model_fwd_s": sec}))
@@ -691,6 +788,18 @@ def main(argv=None) -> int:
                 ordering=list(getattr(wrapper, "ordering", [])) or None,
                 variables=variables,
             )
+            if args.hindcast or args.hindcast_reference_year is not None:
+                from msfno_tpu.inference.io import HindcastReLabel
+
+                ref_year = args.hindcast_reference_year or (
+                    int(args.date[:4]) if args.date else 2020
+                )
+                start = int(args.date) if args.date else ref_year * 10000 + 101
+                writer = HindcastReLabel(
+                    None, writer,
+                    reference_date=ref_year * 10000 + start % 10000,
+                    hdate=start,
+                )
         outs = []
         for field in wrapper.running(x0, lead_time_h=args.lead_time,
                                      sst_seq=sst_seq, output=writer):

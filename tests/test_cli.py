@@ -446,3 +446,70 @@ def test_debug_flag_is_logging_only(tmp_path):
     )
     assert rc == 0
     assert not jax.config.jax_debug_nans
+
+
+class TestReferenceFlagParity:
+    def test_lin_probe_action(self, tmp_path):
+        """--train --model mae --model-version lin-probe ridge-fits
+        precomputed cls tokens to ONI (reference main.py:554-562)."""
+        rng = np.random.default_rng(0)
+        w_true = rng.standard_normal(8)
+        cls = rng.standard_normal((50, 8)).astype(np.float32)
+        oni = (cls @ w_true + 0.01 * rng.standard_normal(50)).astype(
+            np.float32
+        )
+        np.save(tmp_path / "cls.npy", cls)
+        np.save(tmp_path / "oni.npy", oni)
+        rc = main([
+            "--model", "mae", "--model-version", "lin-probe", "--train",
+            "--film-embed-dim", "8",
+            "--cls", str(tmp_path / "cls.npy"),
+            "--oni-path", str(tmp_path / "oni.npy"),
+            "--output-path", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "checkpoint_linprobe.npz").exists()
+
+    def test_sfno_weights_loads_backbone(self, tmp_path):
+        """--sfno-weights seeds the frozen backbone for film fine-tuning
+        (reference main.py:410)."""
+        rc = main(TINY + ["--train", "--num-iterations", "1",
+                          "--validation-interval", "0",
+                          "--output-path", str(tmp_path)])
+        assert rc == 0
+        cp = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))[-1]
+        rc = main(
+            TINY
+            + ["--model-version", "film", "--coarse-level", "2",
+               "--model-depth", "1", "--film-embed-dim", "8", "--mlp-dim",
+               "8", "--temporal-step", "2", "--train", "--num-iterations",
+               "1", "--validation-interval", "0",
+               "--sfno-weights", str(tmp_path / cp),
+               "--output-path", str(tmp_path / "film")]
+        )
+        assert rc == 0
+
+    def test_dropout_flag_reaches_film_config(self):
+        args = build_parser().parse_args(
+            TINY + ["--model-version", "film", "--dropout", "0.3"]
+        )
+        mc, _ = configs_from_args(args)
+        assert mc.film.dropout == 0.3
+
+    def test_batch_size_validation_and_no_shuffle(self, tmp_path, cli_store):
+        rc = main(
+            TINY_REAL
+            + ["--train", "--era5-path", cli_store, "--no-shuffle",
+               "--batch-size-validation", "2", "--training-epochs", "1",
+               "--validation-interval", "0", "--validation-batches", "1",
+               "--output-path", str(tmp_path / "out")]
+        )
+        assert rc == 0
+
+    def test_hindcast_run_metadata(self, tmp_path):
+        rc = main(TINY + ["--run", "--lead-time", "6", "--output", "file",
+                          "--hindcast", "--hindcast-reference-year", "2015",
+                          "--output-path", str(tmp_path)])
+        assert rc == 0
+        m = json.load(open(tmp_path / "forecast" / "manifest.json"))
+        assert str(m["metadata"]["reference_date"]).startswith("2015")
