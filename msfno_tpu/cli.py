@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="film-generator checkpoint merged onto the backbone")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (reference main.py --cpu); "
+                   "also useful when the remote-TPU link is unavailable")
 
     # actions (dispatch per reference main.py:261-339)
     act = p.add_argument_group("Actions")
@@ -466,8 +469,32 @@ def restore_train_state(state, trainer, args, model_cfg, train_cfg):
     return state
 
 
+def _force_cpu_backend():
+    """Re-point jax at the host CPU before any backend initializes
+    (reference --cpu, main.py; here it also keeps every CLI flow usable
+    when the remote-TPU tunnel is down).  Safe to call early: with no
+    live backend, clear_backends() is a no-op and the config update is
+    consumed lazily at first device use."""
+    import jax
+
+    try:
+        import jax._src.xla_bridge as xb
+
+        if xb._backends and jax.default_backend() == "cpu":
+            return  # already on CPU (e.g. the test session) — don't reset
+    except Exception:
+        pass
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        _force_cpu_backend()
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO,
         filename=args.log_file,

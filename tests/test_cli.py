@@ -448,6 +448,22 @@ def test_debug_flag_is_logging_only(tmp_path):
     assert not jax.config.jax_debug_nans
 
 
+def test_cpu_flag(tmp_path):
+    """--cpu (reference main.py) forces the host CPU backend; in the test
+    session the backend is already CPU, so it must be a safe no-op that
+    leaves the action working end-to-end."""
+    import jax
+
+    rc = main(
+        TINY
+        + ["--cpu", "--train", "--num-iterations", "1",
+           "--validation-interval", "0", "--output-path", str(tmp_path)]
+    )
+    assert rc == 0
+    assert jax.default_backend() == "cpu"
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+
+
 class TestReferenceFlagParity:
     def test_lin_probe_action(self, tmp_path):
         """--train --model mae --model-version lin-probe ridge-fits
