@@ -174,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
     arch.add_argument("--use-pallas", action="store_true")
     arch.add_argument("--spectral-mxu-dtype", default="float32",
                       choices=["float32", "bfloat16"])
+    arch.add_argument("--pallas-grid-mlp", action="store_true",
+                      help="fused Pallas kernel for the full-res "
+                      "encoder/decoder MLPs (hidden state stays in VMEM)")
+    arch.add_argument("--grid-mlp-mxu-dtype", default="bfloat16",
+                      choices=["float32", "bfloat16"])
 
     film = p.add_argument_group("Architecture Film Gen")
     film.add_argument("--film-gen", dest="film_gen_type", default="gcn_custom",
@@ -285,6 +290,8 @@ def configs_from_args(args):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         spectral_mxu_dtype=args.spectral_mxu_dtype,
+        pallas_grid_mlp=args.pallas_grid_mlp,
+        grid_mlp_mxu_dtype=args.grid_mlp_mxu_dtype,
         film=film,
     )
     train_cfg = TrainConfig(

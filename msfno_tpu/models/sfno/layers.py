@@ -73,12 +73,37 @@ def spectral_transforms(fwd, inv, use_pallas: bool = False):
     return fwd, inv
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree ({kernel, bias}) for
+    paths that hand the weights to a fused kernel instead of calling Dense."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", trunc_normal_init(0.02), (in_features, self.features)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class Mlp(nn.Module):
     """Dense -> GELU -> Dense over the channel axis.
 
     Equivalent to the reference's Conv2d(1x1) MLP (layers.py:145-178) in
     channels-last layout.  `output_bias=False` matches the encoder/decoder
     wiring (sfnonet.py:510-520, 630-640).
+
+    `use_pallas=True` routes through the fused grid-MLP kernel
+    (ops/pallas/grid_mlp.py): the hidden activation never makes an HBM round
+    trip, and the optional `pe` operand fuses the positional-embed add into
+    the output write (encoder).  The parameter tree is identical either way.
     """
 
     hidden_features: int
@@ -86,9 +111,40 @@ class Mlp(nn.Module):
     output_bias: bool = True
     drop_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    mxu_dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 pe: Array | None = None) -> Array:
+        if self.use_pallas:
+            from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+            k1, b1 = _DenseParams(self.hidden_features, name="fc1")(
+                x.shape[-1]
+            )
+            k2, b2 = _DenseParams(
+                self.out_features, use_bias=self.output_bias, name="fc2"
+            )(self.hidden_features)
+            if self.drop_rate > 0.0 and not deterministic:
+                # dropout sits between the fused matmuls: jnp fallback with
+                # the same params (training-only path)
+                h = x.astype(self.dtype) @ k1.astype(self.dtype) + b1.astype(
+                    self.dtype
+                )
+                h = nn.gelu(h, approximate=False)
+                h = nn.Dropout(self.drop_rate, deterministic=False)(h)
+                y = h @ k2.astype(self.dtype)
+                if b2 is not None:
+                    y = y + b2.astype(self.dtype)
+                if pe is not None:
+                    y = y + pe.astype(y.dtype)
+                return nn.Dropout(self.drop_rate, deterministic=False)(y)
+            y = grid_mlp(
+                x, k1, b1, k2, b2=b2, pe=pe, mxu_dtype=self.mxu_dtype
+            )
+            return y.astype(self.dtype)
+
         x = x.astype(self.dtype)
         x = nn.Dense(
             self.hidden_features,
@@ -110,6 +166,8 @@ class Mlp(nn.Module):
         )(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        if pe is not None:
+            x = x + pe.astype(x.dtype)
         return x
 
 
@@ -154,9 +212,26 @@ class BigSkipMlp(nn.Module):
     skip_features: int
     output_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    mxu_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, x: Array, residual: Array, deterministic: bool = True):
+        if self.use_pallas:
+            from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+            k1, b1 = _DenseParams(self.hidden_features, name="fc1")(
+                self.in_main + self.skip_features
+            )
+            k2, b2 = _DenseParams(
+                self.out_features, use_bias=self.output_bias, name="fc2"
+            )(self.hidden_features)
+            y = grid_mlp(
+                x, k1, b1, k2, b2=b2, skip=residual,
+                mxu_dtype=self.mxu_dtype,
+            )
+            return y.astype(self.dtype)
+
         h = _SplitDense(
             self.hidden_features,
             self.in_main,

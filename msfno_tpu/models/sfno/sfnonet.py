@@ -113,6 +113,66 @@ def _mlp(remat: bool, name: str, **kw) -> Mlp:
     return cls(**kw, name=name)
 
 
+def _encode(net: nn.Module, cfg: SFNOConfig, x: Array,
+            deterministic: bool) -> Array:
+    """Encoder MLP + positional embed.  With the fused grid-MLP kernel the
+    pe add rides the kernel's output write; otherwise it is a separate
+    (XLA-fused) add after the Mlp."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    enc = _mlp(
+        cfg.checkpointing_encoder,
+        "encoder",
+        hidden_features=cfg.embed_dim,
+        out_features=cfg.embed_dim,
+        output_bias=False,
+        dtype=dtype,
+        use_pallas=cfg.pallas_grid_mlp,
+        mxu_dtype=cfg.grid_mlp_mxu_dtype,
+    )
+    pe = None
+    if cfg.pos_embed:
+        pe = net.param(
+            "pos_embed",
+            trunc_normal_init(0.02),
+            (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
+        )
+    x = enc(x, deterministic, pe)
+    return annotate_grid(x)
+
+
+def _decode(cfg: SFNOConfig, x: Array, residual: Array,
+            deterministic: bool) -> Array:
+    """Decoder MLP, with the big-skip concat folded into a split-kernel
+    first layer (and, under the fused kernel, no hidden-state HBM trip)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if cfg.big_skip:
+        dec_cls = (
+            nn.remat(BigSkipMlp, static_argnums=(3,))
+            if cfg.checkpointing_decoder
+            else BigSkipMlp
+        )
+        return dec_cls(
+            hidden_features=cfg.embed_dim,
+            out_features=cfg.out_chans,
+            in_main=cfg.embed_dim,
+            skip_features=cfg.in_chans,
+            dtype=dtype,
+            use_pallas=cfg.pallas_grid_mlp,
+            mxu_dtype=cfg.grid_mlp_mxu_dtype,
+            name="decoder",
+        )(x, residual, deterministic)
+    return _mlp(
+        cfg.checkpointing_decoder,
+        "decoder",
+        hidden_features=cfg.embed_dim,
+        out_features=cfg.out_chans,
+        output_bias=False,
+        dtype=dtype,
+        use_pallas=cfg.pallas_grid_mlp,
+        mxu_dtype=cfg.grid_mlp_mxu_dtype,
+    )(x, deterministic)
+
+
 class FourierNeuralOperatorNet(nn.Module):
     """SFNO (reference FourierNeuralOperatorNet, sfnonet.py:406-686)."""
 
@@ -121,27 +181,10 @@ class FourierNeuralOperatorNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         cfg = self.cfg
-        dtype = jnp.dtype(cfg.compute_dtype)
         transforms = build_transforms(cfg)
         residual = x
 
-        x = _mlp(
-            cfg.checkpointing_encoder,
-            "encoder",
-            hidden_features=cfg.embed_dim,
-            out_features=cfg.embed_dim,
-            output_bias=False,
-            dtype=dtype,
-        )(x, deterministic)
-
-        if cfg.pos_embed:
-            pe = self.param(
-                "pos_embed",
-                trunc_normal_init(0.02),
-                (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
-            )
-            x = x + pe.astype(x.dtype)
-        x = annotate_grid(x)
+        x = _encode(self, cfg, x, deterministic)
 
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:
@@ -150,29 +193,7 @@ class FourierNeuralOperatorNet(nn.Module):
             blk = block_cls(**_block_kwargs(cfg, i, transforms), name=f"blocks_{i}")
             x = blk(x, None, None, 1.0, deterministic)
 
-        if cfg.big_skip:
-            dec_cls = (
-                nn.remat(BigSkipMlp, static_argnums=(3,))
-                if cfg.checkpointing_decoder
-                else BigSkipMlp
-            )
-            x = dec_cls(
-                hidden_features=cfg.embed_dim,
-                out_features=cfg.out_chans,
-                in_main=cfg.embed_dim,
-                skip_features=cfg.in_chans,
-                dtype=dtype,
-                name="decoder",
-            )(x, residual, deterministic)
-        else:
-            x = _mlp(
-                cfg.checkpointing_decoder,
-                "decoder",
-                hidden_features=cfg.embed_dim,
-                out_features=cfg.out_chans,
-                output_bias=False,
-                dtype=dtype,
-            )(x, deterministic)
+        x = _decode(cfg, x, residual, deterministic)
         return x.astype(jnp.float32)
 
 
@@ -192,7 +213,6 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
         film_cfg = cfg.film
         if film_cfg is None:
             raise ValueError("SFNOConfig.film must be set for the filmed net")
-        dtype = jnp.dtype(cfg.compute_dtype)
         transforms = build_transforms(cfg)
 
         # (B, 2, film_layers, C): gamma = [:, 0], beta = [:, 1]
@@ -202,22 +222,7 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
         gamma, beta = film_mod[:, 0], film_mod[:, 1]
 
         residual = x
-        x = _mlp(
-            cfg.checkpointing_encoder,
-            "encoder",
-            hidden_features=cfg.embed_dim,
-            out_features=cfg.embed_dim,
-            output_bias=False,
-            dtype=dtype,
-        )(x, deterministic)
-        if cfg.pos_embed:
-            pe = self.param(
-                "pos_embed",
-                trunc_normal_init(0.02),
-                (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
-            )
-            x = x + pe.astype(x.dtype)
-        x = annotate_grid(x)
+        x = _encode(self, cfg, x, deterministic)
 
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:
@@ -240,27 +245,5 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
             else:
                 x = blk(x, None, None, 1.0, deterministic)
 
-        if cfg.big_skip:
-            dec_cls = (
-                nn.remat(BigSkipMlp, static_argnums=(3,))
-                if cfg.checkpointing_decoder
-                else BigSkipMlp
-            )
-            x = dec_cls(
-                hidden_features=cfg.embed_dim,
-                out_features=cfg.out_chans,
-                in_main=cfg.embed_dim,
-                skip_features=cfg.in_chans,
-                dtype=dtype,
-                name="decoder",
-            )(x, residual, deterministic)
-        else:
-            x = _mlp(
-                cfg.checkpointing_decoder,
-                "decoder",
-                hidden_features=cfg.embed_dim,
-                out_features=cfg.out_chans,
-                output_bias=False,
-                dtype=dtype,
-            )(x, deterministic)
+        x = _decode(cfg, x, residual, deterministic)
         return x.astype(jnp.float32)

@@ -412,6 +412,8 @@ def spectral_mlp(coeffs: jax.Array, weights, negative_slope: float = 0.0,
     are followed by ComplexReLU("real").
     Returns (..., L, M, C_out) complex64.
     """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # compiled Pallas is TPU-only; CPU gets interpret
     shape = coeffs.shape
     c_in = shape[-1]
     x2 = jnp.stack(

@@ -123,6 +123,12 @@ class SFNOConfig:
     # (mirrors reference AMP islands, layers.py:627-639)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = False  # fused Pallas TPU kernels for the spectral MLP
+    # fused grid-MLP Pallas kernel for the full-res encoder/decoder (the
+    # hidden activation never round-trips HBM; pos-embed add fused into the
+    # encoder's output write) — independent of use_pallas for A/B benching
+    pallas_grid_mlp: bool = False
+    # MXU input dtype inside the grid-MLP kernel (fp32 accumulation)
+    grid_mlp_mxu_dtype: str = "bfloat16"
     # MXU input dtype inside the fused spectral kernel: "bfloat16" runs the
     # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
     # accumulation; "float32" reproduces the reference's fp32 spectral path

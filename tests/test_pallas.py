@@ -230,3 +230,125 @@ class TestDftKernel:
             np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=2e-5)
         finally:
             dft_mod.dft_analysis, dft_mod.dft_synthesis = orig_a, orig_s
+
+
+class TestGridMlpKernel:
+    """Fused encoder/decoder grid MLP (ops/pallas/grid_mlp.py)."""
+
+    def _params(self, key, c_in, hidden, c_out, b2=True):
+        ks = jax.random.split(key, 4)
+        w1 = 0.1 * jax.random.normal(ks[0], (c_in, hidden))
+        b1 = 0.1 * jax.random.normal(ks[1], (hidden,))
+        w2 = 0.1 * jax.random.normal(ks[2], (c_out if False else hidden, c_out))
+        bias2 = 0.1 * jax.random.normal(ks[3], (c_out,)) if b2 else None
+        return w1, b1, w2, bias2
+
+    @staticmethod
+    def _ref(x, w1, b1, w2, b2=None, skip=None, pe=None):
+        inp = x if skip is None else jnp.concatenate([x, skip], axis=-1)
+        h = jax.nn.gelu(inp @ w1 + b1, approximate=False)
+        y = h @ w2
+        if b2 is not None:
+            y = y + b2
+        if pe is not None:
+            y = y + pe.reshape(1, *pe.shape[-3:]) if pe.ndim == 3 else y + pe
+        return y
+
+    def test_encoder_shape_with_pe(self):
+        from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+        B, H, W, C = 2, 16, 32, 7
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+        w1, b1, w2, _ = self._params(jax.random.PRNGKey(1), C, 24, 24, b2=False)
+        pe = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (H, W, 24))
+        out = grid_mlp(x, w1, b1, w2, pe=pe, mxu_dtype="float32",
+                       interpret=True)
+        ref = self._ref(x, w1, b1, w2, pe=pe)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_decoder_shape_with_skip(self):
+        from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+        B, H, W = 1, 16, 32
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, 24))
+        skip = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 7))
+        w1, b1, w2, b2 = self._params(jax.random.PRNGKey(2), 31, 24, 7)
+        out = grid_mlp(x, w1, b1, w2, b2=b2, skip=skip,
+                       mxu_dtype="float32", interpret=True)
+        ref = self._ref(x, w1, b1, w2, b2=b2, skip=skip)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unaligned_rows_pad(self):
+        """Row counts with no aligned tile exercise the padding path."""
+        from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 7, 13, 5))
+        w1, b1, w2, b2 = self._params(jax.random.PRNGKey(1), 5, 16, 9)
+        out = grid_mlp(x, w1, b1, w2, b2=b2, mxu_dtype="float32",
+                       interpret=True)
+        ref = self._ref(x, w1, b1, w2, b2=b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_reference(self):
+        from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+        B, H, W, C = 1, 8, 16, 5
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+        skip = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3))
+        w1, b1, w2, b2 = self._params(jax.random.PRNGKey(2), C + 3, 16, 6)
+        pe = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (H, W, 6))
+
+        def loss_k(x, skip, w1, b1, w2, b2):
+            y = grid_mlp(x, w1, b1, w2, b2=b2, skip=skip, pe=pe,
+                         mxu_dtype="float32", interpret=True)
+            return jnp.sum(y ** 2)
+
+        def loss_r(x, skip, w1, b1, w2, b2):
+            y = self._ref(x, w1, b1, w2, b2=b2, skip=skip) + pe
+            return jnp.sum(y ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5))(x, skip, w1, b1, w2, b2)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(x, skip, w1, b1, w2, b2)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_in_model(self):
+        """pallas_grid_mlp reproduces the standard encoder/decoder path with
+        an identical param tree (checkpoint compatibility)."""
+        import dataclasses
+        import msfno_tpu.ops.pallas.grid_mlp as gm
+        from msfno_tpu.models import FourierNeuralOperatorNet
+        from tests.test_training import small_cfg
+
+        cfg = small_cfg(film=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 3))
+        m_ref = FourierNeuralOperatorNet(cfg)
+        params = m_ref.init(jax.random.PRNGKey(1), x)
+        y_ref = m_ref.apply(params, x)
+
+        orig = gm.grid_mlp
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        gm.grid_mlp = interp
+        try:
+            cfg_p = dataclasses.replace(
+                cfg, pallas_grid_mlp=True, grid_mlp_mxu_dtype="float32"
+            )
+            m_pal = FourierNeuralOperatorNet(cfg_p)
+            params_p = m_pal.init(jax.random.PRNGKey(1), x)
+            assert jax.tree_util.tree_structure(
+                params_p
+            ) == jax.tree_util.tree_structure(params)
+            y_pal = m_pal.apply(params, x)
+        finally:
+            gm.grid_mlp = orig
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_ref), rtol=1e-4, atol=1e-4
+        )
