@@ -136,6 +136,8 @@ class FourierNeuralOperatorBlock(nn.Module):
     rank: int = 128
     use_pallas: bool = False
     mxu_dtype: str = "float32"
+    pallas_grid_mlp: bool = False
+    grid_mlp_mxu_dtype: str = "bfloat16"
     checkpointing_mlp: bool = False
     fuse_norm: bool = True  # fold instance-norm into the forward SHT
     filmed: bool = False
@@ -216,6 +218,8 @@ class FourierNeuralOperatorBlock(nn.Module):
                 out_features=self.embed_dim,
                 drop_rate=self.drop_rate,
                 dtype=self.dtype,
+                use_pallas=self.pallas_grid_mlp,
+                mxu_dtype=self.grid_mlp_mxu_dtype,
                 name="mlp",
             )(x, deterministic)
 

@@ -98,6 +98,8 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
         rank=cfg.rank,
         use_pallas=cfg.use_pallas,
         mxu_dtype=cfg.spectral_mxu_dtype,
+        pallas_grid_mlp=cfg.pallas_grid_mlp,
+        grid_mlp_mxu_dtype=cfg.grid_mlp_mxu_dtype,
         checkpointing_mlp=cfg.checkpointing_mlp,
         fuse_norm=cfg.fuse_norm_sht,
         dtype=jnp.dtype(cfg.compute_dtype),
