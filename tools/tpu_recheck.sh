@@ -13,6 +13,8 @@ run() {
 }
 run python tools/bench_train_step.py --no-remat
 run python tools/bench_train_step.py --no-remat --bf16-frozen
+run python tools/bench_grid_mlp.py
 run python tools/bench_rollout28.py
 run python bench.py
+run python tools/mem_analysis.py
 echo "DONE $(date +%H:%M:%S)" >> "$LOG"
