@@ -494,7 +494,9 @@ def _force_cpu_backend():
     from jax.extend.backend import clear_backends
 
     clear_backends()
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # config update only — mutating os.environ["JAX_PLATFORMS"] would leak
+    # past this run for in-process callers (tests), and the axon
+    # sitecustomize overrides the env var anyway
     jax.config.update("jax_platforms", "cpu")
 
 

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from msfno_tpu.ops.activations import complex_relu
-from msfno_tpu.parallel.annotate import annotate_modes, annotate_spectral
+from msfno_tpu.parallel.annotate import (
+    active_mesh,
+    annotate_modes,
+    annotate_spectral,
+)
 from msfno_tpu.ops.contractions import (
     compl_contract_dense,
     compl_contract_tril,
@@ -117,7 +121,10 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
                  pe: Array | None = None) -> Array:
-        if self.use_pallas:
+        if self.use_pallas and active_mesh() is None:
+            # under an active mesh the (B,H,W,C)->(N,C) flatten + pallas_call
+            # has no GSPMD partitioning rule — fall back to plain Denses,
+            # which XLA shards along the annotated lat/channel axes
             from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
 
             k1, b1 = _DenseParams(self.hidden_features, name="fc1")(
@@ -137,9 +144,12 @@ class Mlp(nn.Module):
                 y = h @ k2.astype(self.dtype)
                 if b2 is not None:
                     y = y + b2.astype(self.dtype)
+                # pe is added AFTER the output dropout, matching the
+                # standard path below (dropout never zeroes the pos-embed)
+                y = nn.Dropout(self.drop_rate, deterministic=False)(y)
                 if pe is not None:
                     y = y + pe.astype(y.dtype)
-                return nn.Dropout(self.drop_rate, deterministic=False)(y)
+                return y
             y = grid_mlp(
                 x, k1, b1, k2, b2=b2, pe=pe, mxu_dtype=self.mxu_dtype
             )
@@ -217,7 +227,8 @@ class BigSkipMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, residual: Array, deterministic: bool = True):
-        if self.use_pallas:
+        if self.use_pallas and active_mesh() is None:
+            # see Mlp: pallas_call cannot be GSPMD-partitioned under a mesh
             from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
 
             k1, b1 = _DenseParams(self.hidden_features, name="fc1")(

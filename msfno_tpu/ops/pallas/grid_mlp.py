@@ -217,8 +217,9 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     leading batch dims (requires x's pixel count to be a multiple of H*W).
     Returns fp32 (..., C_out).
     """
-    if not interpret and jax.default_backend() == "cpu":
-        interpret = True  # compiled Pallas is TPU-only; CPU gets interpret
+    from msfno_tpu.ops.pallas import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     lead = x.shape[:-1]
     n = 1
     for d in lead:

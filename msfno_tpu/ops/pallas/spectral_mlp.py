@@ -412,8 +412,9 @@ def spectral_mlp(coeffs: jax.Array, weights, negative_slope: float = 0.0,
     are followed by ComplexReLU("real").
     Returns (..., L, M, C_out) complex64.
     """
-    if not interpret and jax.default_backend() == "cpu":
-        interpret = True  # compiled Pallas is TPU-only; CPU gets interpret
+    from msfno_tpu.ops.pallas import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
     shape = coeffs.shape
     c_in = shape[-1]
     x2 = jnp.stack(

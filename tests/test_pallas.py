@@ -239,7 +239,7 @@ class TestGridMlpKernel:
         ks = jax.random.split(key, 4)
         w1 = 0.1 * jax.random.normal(ks[0], (c_in, hidden))
         b1 = 0.1 * jax.random.normal(ks[1], (hidden,))
-        w2 = 0.1 * jax.random.normal(ks[2], (c_out if False else hidden, c_out))
+        w2 = 0.1 * jax.random.normal(ks[2], (hidden, c_out))
         bias2 = 0.1 * jax.random.normal(ks[3], (c_out,)) if b2 else None
         return w1, b1, w2, bias2
 
@@ -351,4 +351,58 @@ class TestGridMlpKernel:
             gm.grid_mlp = orig
         np.testing.assert_allclose(
             np.asarray(y_pal), np.asarray(y_ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_mesh_falls_back_to_xla_path(self):
+        """Under an active mesh the pallas grid MLP silently yields to the
+        plain Dense path (pallas_call has no GSPMD partitioning rule), with
+        identical outputs and param tree."""
+        import msfno_tpu.ops.pallas.grid_mlp as gm
+        from msfno_tpu.models.sfno.layers import Mlp
+        from msfno_tpu.parallel import make_mesh
+        from msfno_tpu.parallel.annotate import use_mesh
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 4))
+        mlp = Mlp(hidden_features=8, out_features=4, use_pallas=True,
+                  mxu_dtype="float32")
+        params = mlp.init(jax.random.PRNGKey(1), x)
+        y_pallas = mlp.apply(params, x)
+
+        orig = gm.grid_mlp
+
+        def boom(*a, **kw):
+            raise AssertionError("grid_mlp must not run under a mesh")
+
+        gm.grid_mlp = boom
+        try:
+            mesh = make_mesh(8, shape=(2, 2, 2))
+            with use_mesh(mesh):
+                y_mesh = mlp.apply(params, x)
+        finally:
+            gm.grid_mlp = orig
+        np.testing.assert_allclose(
+            np.asarray(y_mesh), np.asarray(y_pallas), rtol=1e-5, atol=1e-5
+        )
+
+    def test_dropout_fallback_matches_standard_path(self):
+        """The training-time (dropout) fallback inside use_pallas applies
+        dropout/pe in the same order as the standard path: same rng => same
+        output."""
+        from msfno_tpu.models.sfno.layers import Mlp
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 16, 4))
+        pe = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 16, 4))
+        kw = dict(hidden_features=8, out_features=4, drop_rate=0.5,
+                  mxu_dtype="float32")
+        m_pal = Mlp(use_pallas=True, **kw)
+        m_std = Mlp(use_pallas=False, **kw)
+        params = m_std.init(
+            {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+            x, deterministic=False,
+        )
+        rngs = {"dropout": jax.random.PRNGKey(7)}
+        y_pal = m_pal.apply(params, x, deterministic=False, pe=pe, rngs=rngs)
+        y_std = m_std.apply(params, x, deterministic=False, pe=pe, rngs=rngs)
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_std), rtol=1e-5, atol=1e-5
         )

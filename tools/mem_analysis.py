@@ -52,15 +52,13 @@ def main():
 
     if "--cpu" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
         # the axon sitecustomize pins jax_platforms="axon,cpu" over the env
-        from jax.extend.backend import clear_backends
+        from msfno_tpu.cli import _force_cpu_backend
 
-        clear_backends()
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu_backend()
     import jax.numpy as jnp
-    import numpy as np
 
     import __graft_entry__
-    from msfno_tpu.data.synthetic import gen_batch, synthetic_land_mask
+    from msfno_tpu.data.synthetic import gen_batch
     from msfno_tpu.models.sfno.sfnonet import FourierNeuralOperatorNetFilmed
     from msfno_tpu.training.trainer import Trainer
     from msfno_tpu.utils.config import TrainConfig
@@ -72,12 +70,10 @@ def main():
         cfg = __graft_entry__._flagship_cfg(tiny=tiny, **kw)
         model = FourierNeuralOperatorNetFilmed(cfg)
         h, w = cfg.img_size
-        x = jnp.zeros((1, h, w, cfg.in_chans), jnp.float32)
+        x = jax.ShapeDtypeStruct((1, h, w, cfg.in_chans), jnp.float32)
         hs, ws = cfg.film.sst_shape
-        sst_np = np.random.default_rng(0).standard_normal(
-            (1, cfg.film.temporal_step, hs, ws)).astype(np.float32)
-        sst_np[..., synthetic_land_mask(hs, ws)] = np.nan
-        sst = jnp.asarray(sst_np)
+        sst = jax.ShapeDtypeStruct(
+            (1, cfg.film.temporal_step, hs, ws), jnp.float32)
         params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, sst)
         fwd = jax.jit(lambda p, x, s: model.apply(p, x, s, 1.0))
         compiled = fwd.lower(params, x, sst).compile()
@@ -88,9 +84,13 @@ def main():
     cfg = dataclasses.replace(cfg, checkpointing_block=False)
     tcfg = TrainConfig(batch_size=1, film_scale_start=1.0)
     trainer = Trainer(cfg, tcfg)
+    # abstract shapes only — a concrete full-res batch would be a ~580 MiB
+    # host->device upload through the slow relay for a lowering that never
+    # executes (axon rule: keep bulk data off the tunnel)
     batch = gen_batch(cfg, 1, 0, seed=0)
-    era5 = jnp.asarray(batch.era5)
-    sst = jnp.asarray(batch.sst) if batch.sst is not None else None
+    era5 = jax.ShapeDtypeStruct(batch.era5.shape, jnp.float32)
+    sst = (jax.ShapeDtypeStruct(batch.sst.shape, jnp.float32)
+           if batch.sst is not None else None)
     state_shape = jax.eval_shape(trainer.init_state)
     compiled = jax.jit(trainer._train_step_impl).lower(
         state_shape, era5, sst).compile()
