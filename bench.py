@@ -105,9 +105,45 @@ def _arm_watchdog(seconds: int = 2400):
     return lambda: signal.alarm(seconds)
 
 
+def _probe_backend(timeout_s: int = 420) -> bool:
+    """True if the default JAX backend initializes and runs a matmul within
+    timeout_s, checked in a THROWAWAY subprocess.  The axon tunnel's failure
+    mode is an indefinite hang inside backend init (observed 2026-08-17/18,
+    >10 h) — probing in-process would wedge this process too; a subprocess
+    can simply be killed."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     kick = _arm_watchdog()
+    healthy = _probe_backend()
     import jax
+
+    if not healthy:
+        print(
+            "bench: remote-TPU backend failed a subprocess probe (wedged "
+            "tunnel); falling back to the host-CPU tiny config so the run "
+            "still produces a (clearly labeled) datapoint",
+            file=sys.stderr,
+            flush=True,
+        )
+        from msfno_tpu.cli import _force_cpu_backend
+
+        _force_cpu_backend()
     import jax.numpy as jnp
 
     try:  # persistent compile cache: repeat runs skip the slow first compile

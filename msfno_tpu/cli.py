@@ -148,6 +148,9 @@ def build_parser() -> argparse.ArgumentParser:
     lg.add_argument("--log-file", default=None)
     lg.add_argument("--advanced-logging", action="store_true")
     lg.add_argument("--wandb", action="store_true")
+    lg.add_argument("--wandb-resume", default=None, metavar="RUN_ID",
+                    help="resume an existing wandb run (resume='must', "
+                    "reference train.py:106-114)")
 
     arch = p.add_argument_group("Architecture")
     arch.add_argument("--spectral-transform", default="sht", choices=["sht", "fft"])
@@ -612,6 +615,7 @@ def main(argv=None) -> int:
         writer = create_writer(
             save_dir=args.output_path, use_wandb=args.wandb,
             project=f"{args.model}-{args.model_version}",
+            resume_id=args.wandb_resume,
         )
         params, losses = wrapper.pretrain(
             sst_batches(),
@@ -635,6 +639,7 @@ def main(argv=None) -> int:
             writer=create_writer(
                 save_dir=args.output_path, use_wandb=args.wandb,
                 project=f"{args.model}-{args.model_version}",
+                resume_id=args.wandb_resume,
             ),
         )
         if args.test_batch_size:
