@@ -370,6 +370,30 @@ class Trainer:
         # re-numbering checkpoints of — the completed ones.  One-shot so a
         # later train() call on the same trainer starts fresh.
         start, self.start_epoch = self.start_epoch, 0
+
+        # Metric fetches are deferred by ONE step so the host never blocks on
+        # the step it just dispatched: batch k+1's host->device upload and
+        # launch are already queued when we block on step k's scalars, letting
+        # the (hundreds-of-MB) input copy overlap the previous step's compute.
+        # Values and log order are identical to the synchronous loop.
+        pending = None  # (iter_no, metrics, film_scale) of the previous step
+
+        def flush(p):
+            if p is None:
+                return
+            it_no, m, fs = p
+            self.writer.log(
+                {
+                    "loss": float(m["loss"]),
+                    "grad_norm": float(m["grad_norm"]),
+                    "film scale": float(fs),
+                },
+                step=it_no,
+            )
+
+        # one sync here; afterwards self.iter mirrors state.step host-side
+        # (_train_step_impl advances it by exactly +1 per call)
+        self.iter = int(state.step)
         try:
             for self.epoch in range(start, t.training_epochs):
                 it = self._epoch_iterator(loader, self.epoch, num_batches)
@@ -377,19 +401,14 @@ class Trainer:
                     self._check_time_limit()
                     era5, sst = self._device_batch(batch)
                     state, metrics = self._train_step(state, era5, sst)
-                    self.iter = int(state.step)
-                    self.writer.log(
-                        {
-                            "loss": float(metrics["loss"]),
-                            "grad_norm": float(metrics["grad_norm"]),
-                            "film scale": float(state.film_scale),
-                        },
-                        step=self.iter,
-                    )
+                    self.iter += 1
+                    flush(pending)
+                    pending = (self.iter, metrics, state.film_scale)
                     if (
                         t.validation_interval > 0
                         and self.iter % t.validation_interval == 0
                     ):
+                        pending = flush(pending)  # log order: train before val
                         state = self.validation(state, val_loader)
                         if (
                             self.checkpoint_dir
@@ -398,11 +417,13 @@ class Trainer:
                             == 0
                         ):
                             self.save_checkpoint(state)
+                pending = flush(pending)
                 # post_epoch: validate + checkpoint (train.py:307-316)
                 state = self.validation(state, val_loader)
                 if self.checkpoint_dir:
                     self.save_checkpoint(state)
         except FinTraining as e:
+            flush(pending)
             log.info("training finished early: %s", e)
             if self.checkpoint_dir:
                 self.save_checkpoint(state)

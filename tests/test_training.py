@@ -279,6 +279,18 @@ class TestTrainer:
         assert float(state.film_scale) > 0
         cps = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
         assert cps
+        # the deferred-flush pipeline must log each train step exactly once,
+        # in order, interleaved before its validation record
+        steps = [r["_step"] for r in tr.writer.records if "loss" in r]
+        assert steps == [1, 2, 3, 4]
+        recs = tr.writer.records
+        i_train2 = next(i for i, r in enumerate(recs) if r.get("_step") == 2
+                        and "loss" in r)
+        i_val2 = next(i for i, r in enumerate(recs)
+                      if "validation loss step=0" in r)
+        assert i_train2 < i_val2
+        # host-mirrored iteration counter matches the device step counter
+        assert tr.iter == int(state.step) == 4
 
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = small_cfg(film=False)
