@@ -103,6 +103,20 @@ class MAEWrapper(ModelWrapper):
         step = self.make_train_step(tx)
         rng = jax.random.PRNGKey(seed)
         params, losses = self.params, []
+        pending = None  # (i, loss) one step behind: the float() fetch then
+        # blocks on the PREVIOUS step, so the next batch's upload/dispatch
+        # overlaps compute (same pipeline as Trainer.train)
+
+        def flush(p):
+            if p is None:
+                return
+            i, dev_loss = p
+            losses.append(float(dev_loss))
+            if writer is not None:
+                writer.log({"mae loss": losses[-1]}, step=i)
+            if i % log_every == 0:
+                log.info("mae pretrain step %d: crps %.5f", i, losses[-1])
+
         for i, sst in enumerate(sst_batches):
             if steps is not None and i >= steps:
                 break
@@ -110,11 +124,9 @@ class MAEWrapper(ModelWrapper):
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(sst), sub
             )
-            losses.append(float(loss))
-            if writer is not None:
-                writer.log({"mae loss": losses[-1]}, step=i)
-            if i % log_every == 0:
-                log.info("mae pretrain step %d: crps %.5f", i, losses[-1])
+            flush(pending)
+            pending = (i, loss)
+        flush(pending)
         self.params = params
         return params, losses
 
