@@ -507,6 +507,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cpu:
         _force_cpu_backend()
+    try:
+        # persistent XLA compile cache: repeat CLI invocations skip the slow
+        # full-model compile (~40-60 s per tier on a TPU; keyed per backend)
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MSFNO_COMPILE_CACHE", "/root/.cache/jax_comp"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # unknown config on old jax — never block the CLI
+        pass
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO,
         filename=args.log_file,
