@@ -292,6 +292,35 @@ class TestTrainer:
         # host-mirrored iteration counter matches the device step counter
         assert tr.iter == int(state.step) == 4
 
+    def test_time_limit_graceful_stop(self, tmp_path):
+        """Hitting the wall mid-epoch unwinds via FinTraining: the deferred
+        metric of the already-dispatched step is flushed and a final
+        checkpoint is written (reference time_limit_stop + finalise,
+        train.py:354-364, 821-828)."""
+        cfg = small_cfg(film=False)
+        tcfg = TrainConfig(batch_size=1, validation_interval=0,
+                           training_epochs=1)
+        tr = Trainer(cfg, tcfg, checkpoint_dir=str(tmp_path))
+        state = tr.init_state()
+
+        calls = {"n": 0}
+        orig = tr._check_time_limit
+
+        def limited():
+            calls["n"] += 1
+            if calls["n"] > 2:  # stop before dispatching step 3
+                from msfno_tpu.utils.observability import FinTraining
+
+                raise FinTraining("time limit reached")
+            return orig()
+
+        tr._check_time_limit = limited
+        state = tr.train(state, num_batches=10)
+        steps = [r["_step"] for r in tr.writer.records if "loss" in r]
+        assert steps == [1, 2]  # both dispatched steps logged, none lost
+        cps = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+        assert any("iter=2" in c for c in cps)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = small_cfg(film=False)
         tr = Trainer(cfg, TrainConfig())
