@@ -28,11 +28,18 @@ def build_climatology(
     clim = np.zeros((365, STEPS_PER_DAY) + sample.shape, dtype=np.float64)
     count = 0
 
+    # a 30-year build touches ~44k files; route through the backend's
+    # threaded bulk reader when it has one instead of serial single reads
+    batch_read = getattr(backend, "era5_batch", None)
+    chunk_days = 8  # 32 files per bulk read keeps memory O(chunk)
+
     for year in years:
         # index of Jan 1 of `year`
         base = STEPS_PER_DAY * sum(
             366 if isleap(y) else 365 for y in range(dataset_start_year, year)
         )
+        # (store index, target day-of-year slot) for every kept step
+        pairs = []
         idx = base
         for doy in range(366 if isleap(year) else 365):
             target_doy = doy
@@ -43,8 +50,17 @@ def build_climatology(
                 if doy > 59:
                     target_doy = doy - 1
             for h in range(STEPS_PER_DAY):
-                clim[target_doy, h] += backend.era5(idx)
+                pairs.append((idx, target_doy, h))
                 idx += 1
+        step = chunk_days * STEPS_PER_DAY
+        for c in range(0, len(pairs), step):
+            part = pairs[c : c + step]
+            if batch_read is not None:
+                fields = batch_read([p[0] for p in part])
+            else:
+                fields = [backend.era5(p[0]) for p in part]
+            for (_, target_doy, h), field in zip(part, fields):
+                clim[target_doy, h] += field
         count += 1
 
     clim = (clim / max(count, 1)).astype(np.float32)

@@ -32,12 +32,16 @@ def _build() -> str | None:
     ):
         return _LIB_PATH
     try:
+        # build to a private temp name, then atomically publish: a second
+        # process whose mtime check passes must never CDLL a half-written .so
+        tmp = f"{_LIB_PATH}.build{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH,
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp,
              _SRC_PATH, "-lpthread"],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception as e:  # no compiler / failure -> python fallback
         log.warning("native loader build failed (%s); using numpy fallback", e)
@@ -53,7 +57,14 @@ def get_lib():
         if path is None:
             _lib = False
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:  # stale/corrupt .so — honor the numpy fallback
+            log.warning(
+                "native loader .so unloadable (%s); using numpy fallback", e
+            )
+            _lib = False
+            return None
         lib.msfno_npy_info.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),

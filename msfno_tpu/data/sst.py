@@ -48,9 +48,30 @@ class SSTNpyStore:
     per batch only to discard them."""
 
     def __init__(self, root: str, temporal_step: int = 28):
+        import re
+
         self.root = root
         self.temporal_step = temporal_step
-        self.n = len([f for f in os.listdir(root) if f.startswith("sst_")])
+        # only exact frame files count — a stray sst_mean.npy or *.tmp would
+        # inflate n and window() would FileNotFoundError mid-training; the
+        # contiguity check moves any gap to construction time
+        idcs = sorted(
+            int(m.group(1))
+            for f in os.listdir(root)
+            if (m := re.fullmatch(r"sst_(\d{6})\.npy", f))
+        )
+        self.n = len(idcs)
+        if idcs and idcs != list(range(idcs[0], idcs[0] + len(idcs))):
+            missing = sorted(set(range(idcs[0], idcs[-1] + 1)) - set(idcs))
+            raise FileNotFoundError(
+                f"sst_*.npy indices not contiguous under {root}: "
+                f"missing {missing[:5]}{'...' if len(missing) > 5 else ''}"
+            )
+        if idcs and idcs[0] != 0:
+            raise FileNotFoundError(
+                f"sst_*.npy indices must start at 0, found {idcs[0]} under "
+                f"{root}"
+            )
         if self.n < temporal_step:
             raise FileNotFoundError(
                 f"need >= {temporal_step} sst_*.npy frames under {root}, "
@@ -90,12 +111,15 @@ def compute_oni(
     lat: np.ndarray,
     lon: np.ndarray,
     smooth_days: int = 90,
+    samples_per_day: int = 1,
 ) -> np.ndarray:
     """ONI: Nino-3.4 SST anomaly vs day-of-year climatology, smoothed
     (reference data.py:331-369 computes the anomaly against a
     day-of-year climatology and applies a 3-month running mean).
 
     sst: (N, H, W) with NaN over land; day_of_year: (N,) in 1..366.
+    samples_per_day scales the smoothing window to the series cadence
+    (pass 4 for a 6-hourly series so smooth_days means actual days).
     """
     box = nino34_mask(lat, lon)
     with np.errstate(invalid="ignore"):
@@ -111,8 +135,8 @@ def compute_oni(
             cnt[d] += 1
     clim = clim / np.maximum(cnt, 1)
     anom = series - clim[day_of_year]
-    # running mean over ~3 months
-    k = max(smooth_days, 1)
+    # running mean over ~3 months of actual time
+    k = max(smooth_days * samples_per_day, 1)
     kernel = np.ones(k) / k
     pad = np.pad(anom, (k // 2, k - 1 - k // 2), mode="edge")
     return np.convolve(pad, kernel, mode="valid").astype(np.float32)

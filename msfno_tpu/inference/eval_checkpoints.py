@@ -86,7 +86,7 @@ def evaluate_checkpoints(
             if scale_override is not None
             else (film_scales or {}).get(cp, meta.get("film_scale", 1.0))
         )
-        fcs, fcs_n, tars, tars_n = [], [], [], []
+        fcs, fcs_n, tars, tars_n, tims = [], [], [], [], []
         for batch in batches:
             x0 = batch.era5[0]
             sst_seq = (
@@ -115,10 +115,21 @@ def evaluate_checkpoints(
             fcs_n.append(outs_n)
             tars.append(tar_raw)
             tars_n.append(tar_n)
+            tims.append(
+                np.asarray(batch.times)[1 : steps + 1]
+                if getattr(batch, "times", None) is not None
+                else np.zeros(tar_raw.shape[:2], np.int64)
+            )
         cat = lambda xs: np.concatenate(xs, axis=1)
         name = os.path.basename(cp) + ("" if scale_override is None else "@scale0")
+        if name in reports:
+            # same filename from different directories: keep both reports
+            # (and their saved arrays) instead of silently overwriting
+            parent = os.path.basename(os.path.dirname(cp)) or str(len(reports))
+            name = f"{parent}/{name}".replace(os.sep, "_")
         reports[name] = evaluate_rollout(
-            cat(fcs), cat(tars), climatology, cat(fcs_n), cat(tars_n)
+            cat(fcs), cat(tars), climatology, cat(fcs_n), cat(tars_n),
+            times=cat(tims),
         )
         log.info("%s: mean skill %.4f", name, float(np.mean(reports[name].skill)))
         if save_path:

@@ -39,18 +39,69 @@ def weighted_mse(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
     return np.mean(((pred - target) ** 2) * w, axis=(0, 1, 2))
 
 
+def indexed_climatology(
+    clim: np.ndarray, times: np.ndarray, target_shape: tuple
+) -> np.ndarray:
+    """Expand a (doy, hour)-binned climatology — the shape build_climatology
+    (365, 4, H, W, C) and hourly_climatology (366, 4, ...) produce — to the
+    per-target (S, B, H, W, C) array by looking up each target's valid time.
+
+    times: (S, B) int YYYYMMDDHH; entries <= 0 (synthetic data carries 0)
+    fall back to the all-slot mean field."""
+    import datetime
+    from calendar import isleap
+
+    from msfno_tpu.data.climatology import climatology_at
+
+    s, b = times.shape
+    out = np.empty(target_shape, dtype=clim.dtype)
+    mean_field = clim.mean(axis=(0, 1))
+    leap_dropped = clim.shape[0] == 365
+    for i in range(s):
+        for j in range(b):
+            t = int(times[i, j])
+            if t <= 0:
+                out[i, j] = mean_field
+                continue
+            y, mo, d, h = t // 10**6, t // 10**4 % 100, t // 100 % 100, t % 100
+            doy = datetime.date(y, mo, d).timetuple().tm_yday
+            if leap_dropped:
+                out[i, j] = climatology_at(clim, doy, h, leap_year=isleap(y))
+            else:  # 366-slot array indexes day-of-year directly
+                out[i, j] = clim[doy - 1, (h // 6) % clim.shape[1]]
+    return out
+
+
 def evaluate_rollout(
     forecasts: np.ndarray,
     targets: np.ndarray,
     climatology: np.ndarray,
     forecasts_norm: np.ndarray | None = None,
     targets_norm: np.ndarray | None = None,
+    times: np.ndarray | None = None,
 ) -> SkillReport:
-    """forecasts/targets: (S, B, H, W, C) real space; climatology broadcastable
-    to targets (per step or static)."""
+    """forecasts/targets: (S, B, H, W, C) real space; climatology either
+    broadcastable to targets (per step or static) or (doy, hour)-binned
+    ((365|366, 4, H, W, C) — build_climatology/hourly_climatology output),
+    in which case `times` ((S, B) YYYYMMDDHH valid times) selects the slot
+    per target (reference eval indexing, sfno/model.py:1331-1416)."""
     s = forecasts.shape[0]
     mse_model = np.stack([weighted_mse(forecasts[k], targets[k]) for k in range(s)])
-    clim = np.broadcast_to(climatology, targets.shape)
+    binned = (
+        climatology.ndim == targets.ndim
+        and climatology.shape[0] in (365, 366)
+        and climatology.shape[:2] != targets.shape[:2]
+        and climatology.shape[2:] == targets.shape[2:]
+    )
+    if binned:
+        if times is None:
+            raise ValueError(
+                "a (doy, hour)-binned climatology needs `times` to index; "
+                "pass Batch.times or pre-select the slots"
+            )
+        clim = indexed_climatology(climatology, times, targets.shape)
+    else:
+        clim = np.broadcast_to(climatology, targets.shape)
     mse_clim = np.stack([weighted_mse(clim[k], targets[k]) for k in range(s)])
     if forecasts_norm is not None and targets_norm is not None:
         mse_norm = np.stack(

@@ -59,8 +59,13 @@ class ForecastWriter:
         idx = len(self.meta["times"])
         np.save(os.path.join(self.path, f"time_{idx:05d}.npy"), forecast)
         self.meta["times"].append(int(init_time))
-        with open(os.path.join(self.path, "header.json"), "w") as f:
+        # atomic replace: a crash mid-dump must not truncate header.json —
+        # it is the index for every previously appended chunk, and both
+        # resume (__init__) and read() would be dead on a partial file
+        tmp = os.path.join(self.path, "header.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(self.meta, f)
+        os.replace(tmp, os.path.join(self.path, "header.json"))
 
     @staticmethod
     def read(path: str) -> tuple[dict, np.ndarray]:

@@ -154,6 +154,16 @@ class FileOutput:
         if self.keep is not None:
             _check_filter(self.keep, self.kept_names, data.shape[-1])
             data = data[..., self.keep]
+        elif (
+            self.manifest["variables"]
+            and len(self.manifest["variables"]) != data.shape[-1]
+        ):
+            # reduced-size model with the full ordering table: record only
+            # the names actually present (the NetCDF writer's names[:C])
+            # so manifest consumers never map channels past the data
+            self.manifest["variables"] = self.manifest["variables"][
+                : data.shape[-1]
+            ]
         np.save(os.path.join(self.path, f"step_{step:04d}.npy"), data)
         self.manifest["steps"].append(int(step))
         if kw:  # hindcast relabel metadata etc. (outputs/__init__.py:193-218)

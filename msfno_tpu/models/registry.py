@@ -44,6 +44,9 @@ class ModelWrapper:
         self.module = self.build_module()
         self.normalizer = self.load_statistics()
         self.sst_normalizer = SSTNormalizer.identity()
+        # FiLM modulation strength used at inference; load_model overwrites
+        # it with the checkpoint's trained value when present
+        self.film_scale = 1.0
 
     # ---- construction ------------------------------------------------
     def build_module(self):
@@ -96,7 +99,13 @@ class ModelWrapper:
             # overlay converted weights on the initialized tree
             self.params = ckpt_io.merge_film_checkpoint(self.params, converted)
         else:
-            self.params, _, _ = ckpt_io.load_checkpoint(checkpoint_file)
+            self.params, _, meta = ckpt_io.load_checkpoint(checkpoint_file)
+            # inference must modulate at the TRAINED film strength: the ramp
+            # leaves film_scale well below 1.0 in most checkpoints, and
+            # running at 1.0 would apply FiLM at many times its trained
+            # magnitude (eval_checkpoints.py reads the same meta key)
+            if "film_scale" in meta:
+                self.film_scale = float(meta["film_scale"])
         return self.params
 
     def save_checkpoint(self, path: str, **extra):
@@ -125,6 +134,7 @@ class ModelWrapper:
             x0,
             RolloutConfig(steps=steps, collect_channels=collect_channels),
             sst_seq=sst_seq if filmed else None,
+            scale=self.film_scale,
             normalizer=self.normalizer,
             sst_normalizer=self.sst_normalizer,
             stepper=stepper,

@@ -52,6 +52,10 @@ int parse_npy_header(FILE* f, NpyHeader* out) {
     header_len = b[0] | (b[1] << 8) | (b[2] << 16) | (uint32_t(b[3]) << 24);
     out->data_offset = 12 + header_len;
   }
+  // real numpy headers are < 64 KiB; a corrupt length field must not turn
+  // into a multi-GB allocation (std::bad_alloc would unwind through the
+  // C ABI into ctypes and abort the process instead of returning an error)
+  if (header_len == 0 || header_len > (1u << 20)) return -9;
   std::string header(header_len, '\0');
   if (fread(&header[0], 1, header_len, f) != header_len) return -4;
 

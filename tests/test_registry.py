@@ -82,6 +82,44 @@ class TestRegistry:
         outs = list(w.running(x0, lead_time_h=12))
         assert len(outs) == 2
 
+    def test_running_uses_checkpoint_film_scale(self, tmp_path):
+        """Inference must modulate at the TRAINED film strength: load_model
+        picks up meta['film_scale'] and running() forwards it (regression:
+        scale was hardcoded to 1.0, over-modulating partially ramped
+        checkpoints)."""
+        import jax.numpy as jnp
+
+        from msfno_tpu.training import checkpoint as ckpt_io
+
+        cfg = small_cfg(film=True)
+        w = get_model("sfno", "film", cfg=cfg)
+        params = w.init_params()
+        cp = str(tmp_path / "cp.npz")
+        ckpt_io.save_checkpoint(cp, params, step=1, epoch=0,
+                                extra={"film_scale": 0.25})
+        w2 = get_model("sfno", "film", cfg=cfg)
+        w2.load_model(cp)
+        assert w2.film_scale == 0.25
+
+        f = cfg.film
+        x0 = np.random.randn(1, 16, 32, 3).astype(np.float32)
+        sst = np.random.randn(
+            3, 1, f.temporal_step, *f.sst_shape
+        ).astype(np.float32)
+        out_ckpt = list(w2.running(x0, lead_time_h=6, sst_seq=sst))[0]
+        # manual rollout at the stored scale must match; at scale 1.0 it
+        # must differ (the modulation is active for this random film gen)
+        from msfno_tpu.inference.rollout import rollout, RolloutConfig
+
+        ref = list(rollout(w2.module, w2.params, x0, RolloutConfig(steps=1),
+                           sst_seq=sst, normalizer=w2.normalizer,
+                           sst_normalizer=w2.sst_normalizer, scale=0.25))[0]
+        full = list(rollout(w2.module, w2.params, x0, RolloutConfig(steps=1),
+                            sst_seq=sst, normalizer=w2.normalizer,
+                            sst_normalizer=w2.sst_normalizer, scale=1.0))[0]
+        np.testing.assert_allclose(out_ckpt, ref, rtol=1e-5, atol=1e-5)
+        assert not np.allclose(ref, full)
+
 
 class TestConverter:
     def test_sfno_state_dict_conversion(self):
