@@ -112,6 +112,10 @@ class AFNOBlock(nn.Module):
         if self.drop_rate > 0.0:
             y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
         y = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02), name="mlp_fc2")(y)
+        if self.drop_rate > 0.0:
+            # timm-style Mlp: dropout after BOTH the activation and fc2
+            # (reference afnonet.py:98-105)
+            y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
         return y + residual
 
 
@@ -146,6 +150,10 @@ class AFNONet(nn.Module):
             "pos_embed", trunc_normal_init(0.02), (gh, gw, self.embed_dim)
         )
         x = x + pos[None]
+        if self.drop_rate > 0.0:
+            # pos_drop after the positional-embed add (reference
+            # afnonet.py:385, 435)
+            x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         for i in range(self.depth):
             x = AFNOBlock(
                 self.embed_dim,

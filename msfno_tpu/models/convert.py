@@ -321,6 +321,17 @@ def convert_afno_state_dict(
     gw = img_size[1] // patch_size[1]
     flat: dict[str, np.ndarray] = {}
     report: list[str] = []
+    # PrecipNet stores its AFNONet under `self.backbone` (reference
+    # afnonet.py:326-348), so its checkpoints prefix every backbone key with
+    # "backbone." — and the flax PrecipNet tree nests the same way
+    # ({"backbone": {...}, "conv": {...}}).  Strip the prefix for matching
+    # and re-nest the converted entries under backbone/.
+    precip = any(k.startswith("backbone.") for k in state)
+    if precip:
+        state = {
+            (k[len("backbone."):] if k.startswith("backbone.") else k): v
+            for k, v in state.items()
+        }
     for k, v in state.items():
         if k in ("norm.weight", "norm.bias"):
             continue  # dead final norm (never called in forward)
@@ -376,6 +387,11 @@ def convert_afno_state_dict(
                 flat["conv/bias"] = v
             continue
         report.append(k)
+    if precip:
+        flat = {
+            (k if k.startswith("conv/") else f"backbone/{k}"): v
+            for k, v in flat.items()
+        }
     params = traverse_util.unflatten_dict(flat, sep="/")
     return {"params": params, "unconverted": report}
 
@@ -422,12 +438,25 @@ def export_sfno_state_dict(params: Mapping) -> dict[str, np.ndarray]:
                 out[f"{base}.{rest[0]}.{kind}"] = w
                 continue
             if rest[0] == "filter":
-                if rest[1] == "w":  # (K, in, out, 2) -> (out, in, K, 2)
-                    out[f"{base}.filter_layer.filter.w"] = np.ascontiguousarray(
-                        np.transpose(v, (2, 1, 0, 3))
-                    )
+                if rest[1] == "w":
+                    if v.ndim == 5:
+                        # SpectralConv2d (L, M, in, out, 2) -> (out, in, L, M, 2)
+                        out[f"{base}.filter_layer.filter.w"] = (
+                            np.ascontiguousarray(np.transpose(v, (3, 2, 0, 1, 4)))
+                        )
+                    else:
+                        # SpectralConvS2 (K, in, out, 2) -> (out, in, K, 2)
+                        out[f"{base}.filter_layer.filter.w"] = (
+                            np.ascontiguousarray(np.transpose(v, (2, 1, 0, 3)))
+                        )
                 elif rest[1] == "wout":
                     out[f"{base}.filter_layer.filter.wout"] = v
+                elif rest[1] == "act_bias":
+                    # trained ComplexReLU bias: inverse of the import's
+                    # reshape(-1) — the reference stores (hidden, 1, 1)
+                    out[f"{base}.filter_layer.filter.activation.bias"] = (
+                        v.reshape(-1, 1, 1)
+                    )
                 elif re.match(r"^w\d+$", rest[1]):
                     out[f"{base}.filter_layer.filter.w.{rest[1][1:]}"] = v
                 else:  # tt factors w0/w1/w2 handled above; anything else kept

@@ -178,9 +178,17 @@ class _TorchUnpickler(pickle.Unpickler):
                 return ma.scalar
             return getattr(np, name, _Placeholder(module, name))
         if module == "builtins":
-            import builtins
+            # allowlist only data constructors: a blanket getattr(builtins,
+            # name) would hand a malicious pickle exec/eval/__import__ and
+            # void the module's untrusted-file guarantee
+            if name in (
+                "complex", "set", "frozenset", "bytearray", "list", "dict",
+                "tuple", "int", "float", "bool", "str", "bytes", "slice",
+            ):
+                import builtins
 
-            return getattr(builtins, name)
+                return getattr(builtins, name)
+            return _Placeholder(module, name)
         return _Placeholder(module, name)
 
     def persistent_load(self, pid):
@@ -196,7 +204,11 @@ class _TorchUnpickler(pickle.Unpickler):
 
 def _read_zip(zf: zipfile.ZipFile) -> Any:
     names = zf.namelist()
-    pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+    pkl_name = next(
+        (n for n in names if n.endswith("/data.pkl") or n == "data.pkl"), None
+    )
+    if pkl_name is None:
+        raise ValueError("torch zip checkpoint has no data.pkl entry")
     prefix = pkl_name[: -len("data.pkl")]
     cache: dict[str, tuple[np.ndarray, int]] = {}
 
@@ -216,37 +228,71 @@ def _read_zip(zf: zipfile.ZipFile) -> Any:
         return _TorchUnpickler(f, load_storage).load()
 
 
+def _safe_pickle_load(f: BinaryIO) -> Any:
+    """Stock-pickle replacement for the legacy stream's header/footer
+    pickles (magic int, protocol, sys-info dict, storage-key list): they
+    contain only literals, so resolving ANY global would mean a hostile
+    file — plain pickle.load here would be the exec hole the main
+    unpickler's allowlist closes."""
+
+    class _NoGlobals(pickle.Unpickler):
+        def find_class(self, module, name):
+            raise pickle.UnpicklingError(
+                f"legacy header pickle requested global {module}.{name}"
+            )
+
+        def persistent_load(self, pid):
+            raise pickle.UnpicklingError("unexpected persistent id in header")
+
+    return _NoGlobals(f, encoding="latin1").load()
+
+
 def _read_legacy(f: BinaryIO) -> Any:
     """Legacy torch.save stream: magic, protocol, sys_info pickles, the object
     pickle (with persistent storage ids), the storage-key list pickle, then
     per-key raw data each prefixed by int64 element count."""
-    magic = pickle.load(f)
+    magic = _safe_pickle_load(f)
     if magic != 0x1950A86A20F9469CFC6C:
         raise ValueError("not a legacy torch.save stream (bad magic)")
-    pickle.load(f)  # protocol version
-    pickle.load(f)  # sys info
+    _safe_pickle_load(f)  # protocol version
+    _safe_pickle_load(f)  # sys info
 
     storages: dict[str, tuple] = {}  # key -> (dtype_spec, numel)
     order: list[str] = []
+    # (view_handle, root_handle, element offset, element count): legacy
+    # persistent ids may reference a VIEW into a root storage; the tensor's
+    # own storage_offset is then view-relative, so applying it to the root
+    # would silently load the wrong slice
+    views: list[tuple[list, list, int, int]] = []
 
     def load_storage(key, dtype_spec, numel, view_metadata=None):
         skey = str(key)
         if skey not in storages:
             storages[skey] = [dtype_spec, numel, None]
             order.append(skey)
-        # return a mutable handle resolved after raw data is read
-        return storages[skey]
+        handle = storages[skey]
+        if view_metadata is not None:
+            view_key, offset, view_numel = view_metadata[:3]
+            vkey = str(view_key)
+            if vkey not in storages:
+                storages[vkey] = [dtype_spec, int(view_numel), None]
+                views.append(
+                    (storages[vkey], handle, int(offset), int(view_numel))
+                )
+            return storages[vkey]
+        return handle
 
     class LegacyUnpickler(_TorchUnpickler):
         def persistent_load(self, pid):
             if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
                 raise pickle.UnpicklingError(f"unsupported persistent id {pid!r}")
             storage_type, root_key, _location, numel = pid[1:5]
+            view_metadata = pid[5] if len(pid) > 5 else None
             if isinstance(storage_type, _DTypeRef):
                 dtype_spec = _DTYPE_NAMES[storage_type.name]
             else:
                 dtype_spec = storage_type.dtype
-            return load_storage(root_key, dtype_spec, numel)
+            return load_storage(root_key, dtype_spec, numel, view_metadata)
 
     # tensors come back holding the mutable [dtype, numel, data] handles;
     # materialize() later walks the unpickled object tree and rebuilds them
@@ -262,7 +308,7 @@ def _read_legacy(f: BinaryIO) -> Any:
             return super().find_class(module, name)
 
     obj = DeferredUnpickler(f, None).load()
-    key_order = pickle.load(f)  # serialized storage keys, in write order
+    key_order = _safe_pickle_load(f)  # serialized storage keys, write order
     for key in key_order:
         skey = str(key)
         (numel,) = struct.unpack("<q", f.read(8))
@@ -275,6 +321,9 @@ def _read_legacy(f: BinaryIO) -> Any:
             raw = f.read(numel * dt.itemsize)
             arr = np.frombuffer(raw, dtype=dt)
         storages[skey][2] = arr
+    for vh, root, offset, vnumel in views:
+        if root[2] is not None:
+            vh[2] = root[2][offset : offset + vnumel]
 
     def materialize(x):
         if isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], list) \

@@ -82,7 +82,15 @@ def initialize_distributed(
             # an environment is detectable — jax.devices() cannot be consulted
             # here because calling it would initialize the single-host backend
             jax.distributed.initialize()
-    except RuntimeError as e:  # already initialized
+    except RuntimeError as e:
+        # benign: re-init, or a backend that is already up (jax refuses with
+        # "must be called before any JAX calls").  Anything else — e.g. an
+        # unreachable/typo'd coordinator — must surface: silently proceeding
+        # would leave this host training a disjoint single-process replica
+        # while the rest of the pod hangs on the rendezvous.
+        msg = str(e).lower()
+        if "already" not in msg and "must be called before" not in msg:
+            raise
         log.debug("distributed init skipped: %s", e)
     info = {
         "process_index": jax.process_index(),
@@ -94,13 +102,13 @@ def initialize_distributed(
     return info
 
 
-def measure_scaling(step_fn, make_args, device_counts: list[int],
+def measure_scaling(step_fn, device_counts: list[int],
                     iters: int = 5, mode: str = "weak") -> dict[int, dict]:
     """Throughput vs device count for a mesh-parameterized step function.
 
-    step_fn(mesh) -> (callable, args) where callable(*args) returns an array;
-    make_args supplies fresh inputs per mesh.  mode selects the efficiency
-    semantics:
+    step_fn(mesh) -> (callable, args) where callable(*args) returns an array
+    (inputs sized for that mesh come from step_fn itself).  mode selects the
+    efficiency semantics:
     - "weak": per-device work is fixed as n grows (e.g. global batch = n x
       local batch); ideal step time is constant, efficiency = t_base / t_n;
     - "strong": total work is fixed; ideal step time is t_base * n_base / n,
@@ -113,8 +121,10 @@ def measure_scaling(step_fn, make_args, device_counts: list[int],
     if mode not in ("weak", "strong"):
         raise ValueError(f"mode must be 'weak' or 'strong', got {mode!r}")
     results: dict[int, dict] = {}
-    base: tuple[int, float] | None = None  # (n_base, t_base)
-    for n in device_counts:
+    timings: dict[int, float] = {}
+    # measure smallest-first so the efficiency base is the smallest mesh
+    # regardless of the order the caller listed the counts in
+    for n in sorted(set(device_counts)):
         if n > len(jax.devices()):
             log.warning("skipping %d devices (only %d available)", n,
                         len(jax.devices()))
@@ -128,9 +138,9 @@ def measure_scaling(step_fn, make_args, device_counts: list[int],
             out = fn(*args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
-        if base is None:
-            base = (n, dt)
-        n_base, t_base = base
+        timings[n] = dt
+        n_base = min(timings)
+        t_base = timings[n_base]
         if mode == "weak":
             efficiency = t_base / dt
             rate = n / dt  # device-steps/s: per-device work fixed

@@ -51,7 +51,7 @@ class Stepper:
 
     def __init__(self, total_steps: int, log_every: int = 1):
         self.total = total_steps
-        self.log_every = log_every
+        self.log_every = max(log_every, 1)  # 0 would ZeroDivisionError
         self.t0 = time.perf_counter()
 
     def __call__(self, i: int, step_hours: int | None = None):

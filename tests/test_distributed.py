@@ -29,7 +29,7 @@ def test_measure_scaling_smoke():
         f = jax.jit(lambda v: jnp.sum(v @ v.T))
         return f, (x,)
 
-    res = measure_scaling(step_fn, None, [1, 2, 4], iters=2)
+    res = measure_scaling(step_fn, [1, 2, 4], iters=2)
     assert set(res) == {1, 2, 4}
     for r in res.values():
         assert r["seconds"] > 0

@@ -114,6 +114,21 @@ class TestAFNOParity:
         assert res_b["unconverted"] == [] and res_h["unconverted"] == []
         my = MyPrecip(backbone=MyAFNO(**KW))
         params = {"backbone": res_b["params"], **res_h["params"]}
+
+        # one-shot conversion of the RAW PrecipNet state_dict ("backbone."
+        # prefixes intact) must produce the same nested tree
+        res_full = convert_afno_state_dict(
+            {k: v.numpy() for k, v in sd.items()},
+            img_size=KW["img_size"], patch_size=KW["patch_size"],
+        )
+        assert res_full["unconverted"] == []
+        flat_a = jax.tree_util.tree_leaves(res_full["params"])
+        flat_b = jax.tree_util.tree_leaves(params)
+        assert jax.tree_util.tree_structure(
+            res_full["params"]
+        ) == jax.tree_util.tree_structure(params)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         out = np.asarray(
             my.apply(
                 {"params": params},

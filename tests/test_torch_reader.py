@@ -87,6 +87,72 @@ def test_shared_storage_views(tmp_path):
     )
 
 
+def test_malicious_builtins_global_is_inert(tmp_path):
+    """A pickle smuggling GLOBAL builtins.exec/eval must not execute:
+    find_class allowlists only data constructors (the module's untrusted-
+    file guarantee)."""
+    canary = str(tmp_path / "pwned")
+    code = f"open({canary!r}, 'w').write('x')".encode()
+    evil = b"\x80\x02cbuiltins\nexec\n(X" + len(code).to_bytes(4, "little") \
+        + code + b"tR."
+    path = str(tmp_path / "evil.pt")
+    with open(path, "wb") as f:
+        f.write(evil)
+    import os
+
+    try:
+        load_torch_checkpoint(path)
+    except Exception:
+        pass  # rejecting is fine; executing is not
+    assert not os.path.exists(canary), "malicious pickle executed code"
+
+
+def test_legacy_view_metadata(tmp_path):
+    """Legacy persistent ids can reference a VIEW into a root storage; the
+    tensor's storage_offset is view-relative.  Crafted stream (modern torch
+    cannot emit one), root = arange(12), view = root[4:10], tensor = view
+    with offset 1, size (4,) -> expect [5, 6, 7, 8]."""
+    import io
+    import pickle
+    import struct
+
+    class _StoragePid:
+        """Pickles via persistent_id below."""
+
+    storage_marker = _StoragePid()
+
+    class _Pickler(pickle.Pickler):
+        def persistent_id(self, obj):
+            if obj is storage_marker:
+                return ("storage", torch.FloatStorage, "0", "cpu", 12,
+                        ("0v", 4, 6))
+            return None
+
+    class _TensorStandIn:
+        def __reduce__(self):
+            return (
+                torch._utils._rebuild_tensor_v2,
+                (storage_marker, 1, (4,), (1,), False, None),
+            )
+
+    buf = io.BytesIO()
+    for head in (0x1950A86A20F9469CFC6C, 1001,
+                 {"little_endian": True}):
+        pickle.dump(head, buf, protocol=2)
+    _Pickler(buf, protocol=2).dump({"w": _TensorStandIn()})
+    pickle.dump(["0"], buf, protocol=2)  # storage key order
+    buf.write(struct.pack("<q", 12))
+    buf.write(np.arange(12, dtype=np.float32).tobytes())
+    path = str(tmp_path / "legacy_view.pt")
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+    arrs = state_dict_arrays(load_torch_checkpoint(path))
+    np.testing.assert_array_equal(
+        arrs["w"], np.array([5, 6, 7, 8], np.float32)
+    )
+
+
 def test_convert_entry_point(tmp_path):
     """load_ecmwf_weights_tar goes through the torch-free reader and the
     name/layout converter in one shot."""

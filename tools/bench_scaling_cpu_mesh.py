@@ -54,7 +54,7 @@ def main(device_counts=(1, 2, 4, 8), iters: int = 5):
 
         return fn, (era5, sst)
 
-    res = measure_scaling(step_fn, None, list(device_counts), iters=iters,
+    res = measure_scaling(step_fn, list(device_counts), iters=iters,
                           mode="weak")
     for n, r in res.items():
         print(f"n={n}: {r['seconds'] * 1e3:.1f} ms/step, "
