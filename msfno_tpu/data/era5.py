@@ -109,10 +109,26 @@ class NpyBackend:
     (Hs, Ws) SST with NaN over land."""
 
     def __init__(self, root: str):
+        import re
+
         self.root = root
-        self.n = len([f for f in os.listdir(root) if f.startswith("era5_")])
+        # exact frame files only, contiguity checked at construction: a
+        # stray era5_stats.npy or a hole in the numbering would otherwise
+        # surface as a FileNotFoundError deep inside a loader worker
+        idcs = sorted(
+            int(m.group(1))
+            for f in os.listdir(root)
+            if (m := re.fullmatch(r"era5_(\d{6})\.npy", f))
+        )
+        self.n = len(idcs)
         if self.n == 0:
             raise FileNotFoundError(f"no era5_*.npy files under {root}")
+        if idcs != list(range(self.n)):
+            missing = sorted(set(range(idcs[-1] + 1)) - set(idcs))
+            raise FileNotFoundError(
+                f"era5_*.npy must be numbered 0..{self.n - 1} under {root}; "
+                f"missing {missing[:5]}{'...' if len(missing) > 5 else ''}"
+            )
         self.has_sst = os.path.exists(os.path.join(root, "sst_000000.npy"))
 
     def __len__(self):
@@ -183,7 +199,16 @@ class ZarrBackend:  # pragma: no cover - requires xarray/zarr
                     f"time index {idx} predates the rh store (offset "
                     f"{self.rh_offset} steps; reference data.py:176)"
                 )
-            r = self.ds_rh.isel(time=ridx).to_array().to_numpy()[0]
+            rsel = self.ds_rh.isel(time=ridx)
+            if "level" in self.ds_rh.coords:
+                # the pl fields above are re-sorted ascending 50..1000; the
+                # separate rh store must match or its 13 channels would be
+                # silently scrambled against variables.ORDERING
+                rsel = rsel.sel(level=self.levels)
+            r = rsel[
+                self.rh_name if self.rh_name in self.ds_rh.data_vars
+                else list(self.ds_rh.data_vars)[0]
+            ].to_numpy()
         else:
             pl = s[self.pl_names + [self.rh_name]].sel(
                 level=self.levels
@@ -421,16 +446,31 @@ class PrefetchLoader:
             times = np.stack([it[2] for it in items], axis=1)
             return Batch(era5=era5, sst=sst, times=times)
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks stop: a plain q.put on the full
+            queue would block FOREVER once the consumer abandons the
+            generator (islice'd validation loaders do every pass), leaking
+            one thread + one multi-GB assembled Batch per worker per epoch."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker(worker_id: int):
             for b in range(worker_id, nb, self.num_workers):
                 if stop.is_set():
                     return
                 try:
-                    q.put((b, make_batch(b)))
+                    batch = make_batch(b)
                 except Exception as e:  # propagate: a swallowed worker
                     # error would leave the consumer blocked on q.get()
                     # forever (received < nb never resolves)
-                    q.put((-1, e))
+                    put_or_stop((-1, e))
+                    return
+                if not put_or_stop((b, batch)):
                     return
 
         threads = [
@@ -456,5 +496,9 @@ class PrefetchLoader:
                 nxt += 1
         finally:
             stop.set()
+            # workers blocked in put_or_stop notice stop within its timeout;
+            # join then drain so no Batch stays pinned in the dead queue
+            for t in threads:
+                t.join(timeout=5.0)
             while not q.empty():
                 q.get_nowait()

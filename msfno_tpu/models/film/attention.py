@@ -1,10 +1,9 @@
 """Shared transformer building blocks for the FiLM generators.
 
-Masked pre-norm attention + feed-forward, sincos position codes, and static
-patchify/unpatchify.  Reference counterparts: MSFNO/Models/vit/vit.py
-(Attention/FeedForward/Transformer, posemb_sincos_2d) and
-MSFNO/Models/mae/maenet.py (MHA/FFN, Transformer_patch_embedding/
-_reconstruction).
+Masked pre-norm attention + feed-forward and static patchify/unpatchify.
+Reference counterparts: MSFNO/Models/vit/vit.py (Attention/FeedForward/
+Transformer) and MSFNO/Models/mae/maenet.py (MHA/FFN,
+Transformer_patch_embedding/_reconstruction).
 
 TPU-native choice: the reference drops NaN-dominated tokens, giving dynamic
 token counts (vit.py:119-160, maenet.py:304-336).  Here the token count stays
@@ -57,16 +56,9 @@ def token_validity(tokens: Array, nan_threshold: float) -> tuple[Array, Array]:
     return nan_mask, ratio < nan_threshold
 
 
-def posemb_sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0):
-    """Reference posemb_sincos_2d (vit.py:64-74), as a numpy constant."""
-    assert dim % 4 == 0, "dim must be a multiple of 4 for sincos embedding"
-    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    omega = np.arange(dim // 4) / max(dim // 4 - 1, 1)
-    omega = 1.0 / (temperature**omega)
-    y = y.flatten()[:, None] * omega[None, :]
-    x = x.flatten()[:, None] * omega[None, :]
-    pe = np.concatenate([np.sin(x), np.cos(x), np.sin(y), np.cos(y)], axis=1)
-    return pe.astype(np.float32)
+# NOTE: the reference's posemb_sincos_2d (vit.py:63-74) is dead upstream —
+# it is computed (vit.py:195) but every use is commented out; both codebases
+# position-encode with the LEARNED encoder/decoder_position_code params.
 
 
 class MaskedAttention(nn.Module):

@@ -10,7 +10,8 @@ TPU-native reformulation of the dynamic parts:
 - token count is static; NaN-dominated tokens are flagged invalid rather than
   dropped (maenet.py:304-336) and masked out of attention, reconstruction
   and the loss;
-- random masking keeps a static M = ceil(N * (1 - mask_ratio)) tokens via a
+- random masking keeps a static M = int(N * (1 - mask_ratio)) tokens (floor,
+  like the reference's int() cast) via a
   per-sample argsort of uniform noise (same construction as
   maenet.py:234-246), so every gather has a static shape.
 """

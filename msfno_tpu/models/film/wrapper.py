@@ -61,6 +61,11 @@ class FilmWrapper(nn.Module):
             return x.reshape(sst.shape[0], 2, cfg.film_layers,
                              cfg.num_film_features)
         elif kind == "mae":
+            # NOTE: cfg.model_depth is intentionally NOT wired here — the
+            # reference's Film_wrapper likewise builds its ContextCast with
+            # the class defaults encoder_depth=4 / decoder_depth=2 / heads=8
+            # (sfnonet.py:878, maenet.py:89-90); model_depth only drives the
+            # gcn/transformer generators in both codebases
             (_, _), (_, _), cls_enc, _ = ContextCast(
                 patch_size=cfg.patch_size,
                 encoder_dim=cfg.embed_dim,

@@ -150,7 +150,13 @@ def h1loss_sphere(sht, prd: Array, tar: Array, squared: bool = True):
 def fluct_l2loss_sphere(sht_weights: Array, prd: Array, tar: Array, inp: Array,
                         relative: bool = False):
     """Fluctuation-weighted L2 (reference losses.py:234-244).
-    sht_weights: (H,) quadrature weights for grid integration."""
+    sht_weights: (H,) quadrature weights for grid integration.
+
+    Upstream quirk, replicated for parity: with relative=True the
+    per-channel weight cancels algebraically ((w*a)/(w*b) == a/b,
+    reference losses.py:239-241), so relative mode degenerates to a plain
+    relative L2 — the fluctuation weighting only matters with
+    relative=False."""
     w = sht_weights[:, None, None]
     integ = lambda f: jnp.sum(w * f, axis=(-3, -2))
     fluct = integ((tar - inp) ** 2)
@@ -216,13 +222,25 @@ def beta_nll(
 
 def statistical_loss(
     prediction: Array, observation: Array, ensemble_axis: int = -1,
-    reduction: str = "mean",
+    reduction: str = "mean", corrected: bool = False,
 ):
     """AtmoRep first-order statistical loss (reference StatisticalLoss,
-    losses.py:357-400)."""
+    losses.py:357-400).
+
+    The reference computes phi = exp(+z^2/2) (losses.py:389) — the SIGN of
+    the Gaussian exponent is flipped vs the standard-normal pdf its own
+    CRPS uses (losses.py:293), so phi explodes (fp32 inf at |z| ~ 13) for
+    any poorly-calibrated sample and there is no eps on the sigma divide.
+    Default replicates that bit-for-bit (the oracle parity suite pins it);
+    corrected=True computes the intended exp(-z^2/2) with an eps-guarded
+    sigma."""
     mu = jnp.mean(prediction, axis=ensemble_axis)
     sigma = jnp.std(prediction, axis=ensemble_axis)
-    phi = jnp.exp(((mu - observation) / sigma) ** 2 / 2.0)
+    if corrected:
+        z2 = ((mu - observation) / (sigma + 1e-8)) ** 2
+        phi = jnp.exp(-z2 / 2.0)
+    else:
+        phi = jnp.exp(((mu - observation) / sigma) ** 2 / 2.0)
     stat_dist = (1.0 - phi) ** 2
     member_dist = jnp.sum(
         (prediction - jnp.expand_dims(observation, ensemble_axis)) ** 2,

@@ -412,6 +412,7 @@ class Trainer:
                         state = self.validation(state, val_loader)
                         if (
                             self.checkpoint_dir
+                            and t.save_checkpoint_interval > 0
                             and (self.iter // t.validation_interval)
                             % t.save_checkpoint_interval
                             == 0
@@ -494,7 +495,10 @@ class Trainer:
         t = self.tcfg
         if t.time_limit_s is None:
             return
-        if time.time() - self._start_time > t.time_limit_s - 15 * 60:
+        # the 15-min grace must not exceed half the limit, or a short smoke
+        # run (--time-limit 600) would stop before its first step
+        grace = min(15 * 60, t.time_limit_s / 2)
+        if time.time() - self._start_time > t.time_limit_s - grace:
             raise FinTraining("time limit reached")
 
     def save_checkpoint(self, state: TrainState, tag: str = "") -> str | None:

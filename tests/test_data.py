@@ -86,6 +86,31 @@ class TestNpyBackend:
         assert b.era5.shape == (2, 2, 4, 8, 3)
         assert b.sst.shape == (2, 2, 2, 4, 8)
 
+    def test_abandoned_epoch_reaps_workers(self, npy_store):
+        """Dropping the epoch() generator early (islice'd validation
+        loaders do this every pass) must not leak worker threads blocked in
+        q.put — each pinned a full assembled batch before the bounded-put
+        fix."""
+        import itertools
+        import threading
+
+        ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
+        # workers > prefetch: the leak-triggering configuration
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                num_workers=4, prefetch=1)
+        before = threading.active_count()
+        for _ in range(3):
+            batches = list(itertools.islice(loader.epoch(0), 2))
+            assert len(batches) == 2
+        # generator closure runs the finally (stop + join); give laggards
+        # one timeout period
+        import time
+
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
     def test_shuffle_deterministic(self, npy_store):
         ds = ERA5Dataset(NpyBackend(npy_store), multi_step=0, temporal_step=2)
         l1 = PrefetchLoader(ds, batch_size=1, shuffle=True, seed=7, num_workers=1)
