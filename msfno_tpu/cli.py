@@ -319,11 +319,27 @@ def configs_from_args(args):
         seed=args.seed,
         time_limit_s=parse_time_limit(args.time_limit),
         bf16_frozen_params=args.bf16_frozen_params,
+        advanced_logging=args.advanced_logging,
     )
     return model_cfg, train_cfg
 
 
-def merge_resume_config(model_cfg, args):
+def explicit_flags(argv=None) -> set[str]:
+    """Dest names of the flags explicitly present on the command line.
+
+    Re-parses argv with every default replaced by a sentinel, so
+    `--flag=value` spellings, argparse prefix abbreviations, and
+    programmatic main(argv=[...]) calls are all detected — naive
+    sys.argv string matching misses all three."""
+    p = build_parser()
+    sentinel = object()
+    for a in p._actions:
+        a.default = sentinel
+    ns, _ = p.parse_known_args(sys.argv[1:] if argv is None else argv)
+    return {k for k, v in vars(ns).items() if v is not sentinel}
+
+
+def merge_resume_config(model_cfg, args, argv=None):
     """Checkpoint-hyperparameter merge on resume: stored architecture wins
     unless the flag was explicitly passed (reference main.py:179-246)."""
     from msfno_tpu.training.checkpoint import peek
@@ -331,7 +347,7 @@ def merge_resume_config(model_cfg, args):
 
     meta = peek(args.resume_checkpoint)
     stored = from_json(meta["config"])
-    passed = {a.lstrip("-").replace("-", "_") for a in sys.argv if a.startswith("--")}
+    passed = explicit_flags(argv)
     protected = {"img_size", "scale_factor", "in_chans", "out_chans", "embed_dim",
                  "num_layers", "spectral_layers", "spectral_transform",
                  "filter_type", "normalization_layer"}
@@ -346,6 +362,18 @@ def merge_resume_config(model_cfg, args):
     return dataclasses.replace(stored, **overrides), meta
 
 
+def build_backend(args):
+    """--era5-path -> NpyBackend (directory of era5_*.npy) or ZarrBackend."""
+    from msfno_tpu.data.era5 import NpyBackend, ZarrBackend
+
+    path = args.era5_path
+    if os.path.isdir(path) and any(
+        f.startswith("era5_") for f in os.listdir(path)
+    ):
+        return NpyBackend(path)
+    return ZarrBackend(path, sst_path=args.sst_path)
+
+
 def build_loaders(args, model_cfg, train_cfg):
     """--era5-path -> backend -> ERA5Dataset -> PrefetchLoader wiring
     (reference set_dataloader, train.py:448-521).  Returns
@@ -354,19 +382,11 @@ def build_loaders(args, model_cfg, train_cfg):
         return None, None
     from msfno_tpu.data.era5 import (
         ERA5Dataset,
-        NpyBackend,
         PrefetchLoader,
-        ZarrBackend,
         year_range_indices,
     )
 
-    path = args.era5_path
-    if os.path.isdir(path) and any(
-        f.startswith("era5_") for f in os.listdir(path)
-    ):
-        backend = NpyBackend(path)
-    else:
-        backend = ZarrBackend(path, sst_path=args.sst_path)
+    backend = build_backend(args)
     n = len(backend)
 
     def year_window(y0, y1):
@@ -538,7 +558,7 @@ def main(argv=None) -> int:
     args = postprocess_args(args, world_size=world_size_hint())
     model_cfg, train_cfg = configs_from_args(args)
     if args.resume_checkpoint:
-        model_cfg, _ = merge_resume_config(model_cfg, args)
+        model_cfg, _ = merge_resume_config(model_cfg, args, argv=argv)
 
     from msfno_tpu.models import get_model
 
@@ -581,7 +601,11 @@ def main(argv=None) -> int:
         oni = np.load(args.oni_path).reshape(-1)
         n = min(len(cls_tokens), len(oni))
         cls_tokens, oni = cls_tokens[:n], oni[:n]
-        split = max(int(n * 0.8), 1)
+        if n < 2:
+            log.error("lin-probe needs >= 2 samples (got %d) for a "
+                      "train/test split", n)
+            return 1
+        split = min(max(int(n * 0.8), 1), n - 1)
         wrapper.fit(cls_tokens[:split], oni[:split])
         mae = wrapper.mae_metric(cls_tokens[split:], oni[split:])
         clim = float(np.mean(np.abs(oni[split:] - np.mean(oni[:split]))))
@@ -681,7 +705,28 @@ def main(argv=None) -> int:
                 split_params,
             )
 
-            backbone = wrapper.load_model(args.sfno_weights)
+            # load ONLY the stored/converted weights — wrapper.load_model
+            # would init_params() a second full tree (seconds + a duplicate
+            # multi-GB host copy at full size) and its fresh film init would
+            # overwrite the trainer state's film init on the overlay below
+            if args.sfno_weights.endswith((".tar", ".pkl", ".pt", ".ckpt")):
+                from msfno_tpu.models.convert import load_ecmwf_weights_tar
+
+                result = load_ecmwf_weights_tar(
+                    args.sfno_weights, num_layers=model_cfg.num_layers
+                )
+                if result["unconverted"]:
+                    log.warning(
+                        "unconverted sfno-weights keys (strict=False): %s",
+                        result["unconverted"][:10],
+                    )
+                backbone = result["params"]
+            else:
+                from msfno_tpu.training.checkpoint import (
+                    load_checkpoint as _load_sfno,
+                )
+
+                backbone, _, _ = _load_sfno(args.sfno_weights)
             full = merge_params(state.trainable, state.frozen)
             # overlay backbone keys onto the fresh tree (film generator
             # keys absent from a pure-SFNO checkpoint keep their init),
@@ -809,8 +854,32 @@ def main(argv=None) -> int:
         if wrapper.params is None:
             wrapper.load_model(args.resume_checkpoint)
         h, w = model_cfg.img_size
-        if args.era5_path:
-            x0 = np.load(args.era5_path)
+        store_backend = None
+        store_idx = 0
+        if args.era5_path and (
+            os.path.isdir(args.era5_path)
+            or args.era5_path.rstrip("/").endswith(".zarr")
+        ):
+            # store directory (same form --train accepts): initial condition
+            # selected by --date/--time, defaulting to the first step
+            from msfno_tpu.data.era5 import yyyymmddhh_to_index
+
+            store_backend = build_backend(args)
+            if args.date:
+                store_idx = yyyymmddhh_to_index(
+                    args.dataset_start_year,
+                    int(args.date) * 100 + args.time % 24,
+                )
+                if not (0 <= store_idx < len(store_backend)):
+                    log.error(
+                        "--date %s --time %02d is outside the store "
+                        "(index %d of %d)", args.date, args.time,
+                        store_idx, len(store_backend),
+                    )
+                    return 1
+            x0 = store_backend.era5(store_idx)[None]
+        elif args.era5_path:
+            x0 = np.load(args.era5_path)  # single np.load-able array
         else:
             log.warning("no --era5-path; running from random initial condition")
             x0 = np.random.randn(1, h, w, model_cfg.in_chans).astype(np.float32)
@@ -818,8 +887,21 @@ def main(argv=None) -> int:
         if model_cfg.film is not None:
             steps = args.lead_time // 6
             f = model_cfg.film
-            if args.sst_path:
+            if args.sst_path and not os.path.isdir(args.sst_path):
                 sst_seq = np.load(args.sst_path)
+            elif store_backend is not None and store_backend.sst(store_idx) is not None:
+                # per-step SST windows from the store (window ends at each
+                # forecast valid time, the training-time convention)
+                sst_seq = np.stack([
+                    np.stack([
+                        store_backend.sst(
+                            min(max(store_idx + s + 1 - (f.temporal_step - 1)
+                                    + k, 0), len(store_backend) - 1)
+                        )
+                        for k in range(f.temporal_step)
+                    ])
+                    for s in range(steps)
+                ])[:, None]  # (steps, B=1, T, Hs, Ws)
             else:
                 log.warning("filmed model without --sst-path; synthetic SST")
                 from msfno_tpu.data.synthetic import synthetic_land_mask
@@ -829,6 +911,12 @@ def main(argv=None) -> int:
                 ).astype(np.float32)
                 sst_seq[..., synthetic_land_mask(*f.sst_shape)] = np.nan
         writer = None
+        if (args.hindcast or args.hindcast_reference_year is not None) and \
+                args.output not in ("file", "netcdf"):
+            log.warning(
+                "--hindcast relabeling applies to step-writing outputs only; "
+                "pass --output file or --output netcdf (got %r)", args.output
+            )
         if args.output in ("file", "netcdf"):
             from msfno_tpu.inference.io import get_output
 

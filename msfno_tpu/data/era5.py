@@ -72,6 +72,16 @@ def index_to_yyyymmddhh(dataset_start_year: int, idx: int) -> int:
     return t.year * 1000000 + t.month * 10000 + t.day * 100 + t.hour
 
 
+def yyyymmddhh_to_index(dataset_start_year: int, t: int) -> int:
+    """Inverse of index_to_yyyymmddhh: a YYYYMMDDHH valid time -> 6h-step
+    index from the dataset start (hours are floored to the 6h grid)."""
+    from datetime import datetime
+
+    y, mo, d, h = t // 10**6, t // 10**4 % 100, t // 100 % 100, t % 100
+    dt = datetime(y, mo, d, (h // 6) * 6) - datetime(dataset_start_year, 1, 1)
+    return int(dt.total_seconds()) // (6 * 3600)
+
+
 def assemble_channels(
     scf: np.ndarray,
     u100: np.ndarray,

@@ -38,12 +38,20 @@ from msfno_tpu.ops.contractions import (
 Array = jax.Array
 
 
-def trunc_normal_init(std: float = 0.02):
+def trunc_normal_init(std: float = 0.02, a: float = -2.0, b: float = 2.0):
     """Truncated-normal initializer matching the reference trunc_normal_
-    (layers.py:29-84, cutoffs at +-2 std)."""
+    (layers.py:29-84): the timm-style cutoffs a/b are ABSOLUTE values, not
+    multiples of std — at the std=0.02 the models use, +-2.0 is +-100
+    sigma, i.e. effectively untruncated.  (Truncating at +-2 sigma, the
+    earlier behavior here, shrinks the effective std by ~12%.)"""
 
     def init(key, shape, dtype=jnp.float32):
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+        # normalized bounds; clamp to +-10 sigma — beyond that the fp32
+        # normal CDF saturates and the inverse-CDF sampler degenerates,
+        # while the distribution is already indistinguishable from normal
+        lo = max(a / std, -10.0)
+        hi = min(b / std, 10.0)
+        return std * jax.random.truncated_normal(key, lo, hi, shape, dtype)
 
     return init
 

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from msfno_tpu.ops.pallas import kernel_mxu_dtype, resolve_interpret
+
 H_TILE = 4  # small blocks: VMEM budget incl. bf16 cast scratch
 C_TILE = 128  # channel tiling keeps blocks inside the ~16 MB VMEM budget
 H_TILE_SYNTH = 4  # synthesis emits W-wide blocks -> smaller H tile
@@ -68,6 +70,7 @@ def dft_analysis(
 ):
     """x: (..., H, W, C) fp32; cmat/smat: (W, M).  Returns (fr, fi) each
     (..., H, M, C) fp32."""
+    interpret = resolve_interpret(interpret)
     lead = x.shape[:-3]
     h, w, c = x.shape[-3:]
     xf = x.reshape(-1, w, c)
@@ -88,7 +91,7 @@ def dft_analysis(
     o_spec = pl.BlockSpec((H_TILE, m, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
     fr, fi = pl.pallas_call(
-        _analysis_kernel(jnp.dtype(mxu_dtype)),
+        _analysis_kernel(kernel_mxu_dtype(mxu_dtype)),
         grid=grid,
         in_specs=[x_spec, w_spec, w_spec],
         out_specs=(o_spec, o_spec),
@@ -118,6 +121,7 @@ def dft_synthesis(
     interpret: bool = False,
 ):
     """re/im: (..., H, M, C) fp32; ci/si: (M, W).  Returns (..., H, W, C)."""
+    interpret = resolve_interpret(interpret)
     lead = re.shape[:-3]
     h, m, c = re.shape[-3:]
     w = ci.shape[1]
@@ -141,7 +145,7 @@ def dft_synthesis(
     o_spec = pl.BlockSpec((ht, w, ct), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _synthesis_kernel(jnp.dtype(mxu_dtype)),
+        _synthesis_kernel(kernel_mxu_dtype(mxu_dtype)),
         grid=grid,
         in_specs=[i_spec, i_spec, w_spec, w_spec],
         out_specs=o_spec,

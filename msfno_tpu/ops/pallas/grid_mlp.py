@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from msfno_tpu.ops.pallas import kernel_mxu_dtype
+
 # tile candidates for the flattened pixel axis, largest first; all multiples
 # of 8 (fp32 sublane) — the caller picks the first that divides H*W when the
 # pos-embed is fused, else the first that keeps padding small
@@ -106,7 +108,7 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
     n, c_main = x.shape
     hidden = w1.shape[1]
     c_out = w2.shape[1]
-    md = jnp.dtype(mxu_dtype)
+    md = kernel_mxu_dtype(mxu_dtype)
 
     n_pad = -n % tile_n
     if n_pad:

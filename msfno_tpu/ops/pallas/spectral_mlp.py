@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from msfno_tpu.ops.pallas import kernel_mxu_dtype
+
 TILE_N = 256
 # packed double-width matmul kernel (default) vs the original 4-dot kernel;
 # module-level so benches can A/B both paths
@@ -128,7 +130,7 @@ def _packed_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
     n_layers = len(flat_ws) // 2
     n, c_in = xr.shape
     c_out = flat_ws[-2].shape[1]
-    md = jnp.dtype(mxu_dtype)
+    md = kernel_mxu_dtype(mxu_dtype)
 
     x = jnp.concatenate([xr, xi], axis=1)
     n_pad = -n % tile_n
@@ -194,7 +196,7 @@ def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
         xi = jnp.pad(xi, ((0, n_pad), (0, 0)))
     n_tot = n + n_pad
 
-    kernel = _make_kernel(n_layers, negative_slope, jnp.dtype(mxu_dtype))
+    kernel = _make_kernel(n_layers, negative_slope, kernel_mxu_dtype(mxu_dtype))
     x_spec = pl.BlockSpec((TILE_N, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -289,7 +291,7 @@ def _packed_bwd_call(xr, xi, gr, gi, *flat_ws, negative_slope: float = 0.0,
     n_layers = len(flat_ws) // 2
     n, c_in = xr.shape
     c_out = flat_ws[-2].shape[1]
-    md = jnp.dtype(mxu_dtype)
+    md = kernel_mxu_dtype(mxu_dtype)
 
     x = jnp.concatenate([xr, xi], axis=1)
     g = jnp.concatenate([gr, gi], axis=1)
@@ -376,7 +378,7 @@ def _fwd(x2, ws, negative_slope, interpret, mxu_dtype):
 
 def _bwd(negative_slope, interpret, mxu_dtype, res, g):
     x2, ws = res
-    if PACKED and PALLAS_BWD and jnp.dtype(mxu_dtype) == jnp.bfloat16:
+    if PACKED and PALLAS_BWD and kernel_mxu_dtype(mxu_dtype) == jnp.bfloat16:
         # fused Pallas input gradient (bf16 weights fit VMEM alongside the
         # derivative masks; the fp32-weight variant would not)
         flat = []

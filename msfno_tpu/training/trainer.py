@@ -476,6 +476,21 @@ class Trainer:
             )
             metrics["gamma mean"] = float(jnp.mean(film_mod[:, 0]))
             metrics["beta mean"] = float(jnp.mean(film_mod[:, 1]))
+        if t.advanced_logging:
+            # reference mem_log/system_monitor telemetry (train.py:747-756)
+            from msfno_tpu.utils.observability import (
+                device_memory_stats,
+                system_monitor,
+            )
+
+            sysm = system_monitor(printout=False)
+            metrics["host ram percent"] = sysm["ram_percent"]
+            metrics["process rss gb"] = sysm["process_rss_gb"]
+            for i, d in enumerate(device_memory_stats()):
+                if d.get("bytes_in_use") is not None:
+                    metrics[f"device{i} hbm gb"] = round(
+                        d["bytes_in_use"] / 2**30, 3
+                    )
         self.writer.log(metrics, step=self.iter)
         # FiLM scale ramp: += film_scale_step until 1 (train.py:638-641)
         if self.filmed and float(state.film_scale) < 1.0:

@@ -199,6 +199,12 @@ class TrainConfig:
     retrain_film: bool = False  # unfreeze decoder + last blocks too
     seed: int = 42
     time_limit_s: float | None = None  # graceful stop (train.py:821-828)
+    # reference --advanced-logging (main.py:1047-1051): extra observability.
+    # Per-variable MSE and gamma/beta stats are always logged here (cheap
+    # under jit, unlike the reference's eager all_reduces); this flag adds
+    # the reference's memory telemetry (mem_log/system_monitor,
+    # train.py:747-756) per validation pass.
+    advanced_logging: bool = False
     # Store the frozen backbone in bfloat16 (fast/bf16 compute config only).
     # Every consumer already rounds operands to bf16 at the MXU, so this is
     # numerically near-neutral while halving frozen-parameter HBM traffic

@@ -162,6 +162,37 @@ class TestRealDataActions:
         )
         assert rc == 0
 
+    def test_run_from_store_with_date(self, tmp_path, cli_store):
+        """--run accepts the same store directory --train does, selecting
+        the initial condition by --date/--time (regression: np.load on the
+        directory used to IsADirectoryError)."""
+        rc = main(
+            TINY_REAL
+            + [
+                "--run", "--lead-time", "12", "--era5-path", cli_store,
+                "--dataset-start-year", "1979",
+                "--date", "19790102", "--time", "6",
+                "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 0
+        data = np.load(tmp_path / "forecast.npz")["forecast"]
+        assert data.shape == (2, 1, 16, 32, 3)
+        # index 5 = 1979-01-02 06:00 at 6h cadence: x0 really came from the
+        # store (normalizer is identity at tiny scale, so step-0 input check
+        # is implicit in the run completing with finite output)
+        assert np.isfinite(data).all()
+
+    def test_run_from_store_date_out_of_range(self, tmp_path, cli_store):
+        rc = main(
+            TINY_REAL
+            + [
+                "--run", "--era5-path", cli_store,
+                "--date", "20250101", "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 1
+
     def test_dataloader_speed_real(self, tmp_path, cli_store, capsys):
         rc = main(TINY_REAL + ["--test-dataloader-speed", "--era5-path",
                                cli_store, "--output-path", str(tmp_path)])
@@ -299,6 +330,49 @@ class TestResumeSemantics:
         collect(state.opt_state)
         assert sched_counts and all(c == int(state.step) for c in sched_counts)
         assert all(c == 0 for c in adam_counts)
+
+
+class TestExplicitFlags:
+    def test_detects_equals_form_and_programmatic_argv(self):
+        """merge_resume_config must honor --flag=value spellings and
+        main(argv=[...]) calls — naive sys.argv string matching missed
+        both, so checkpoint values silently overrode explicit flags."""
+        from msfno_tpu.cli import explicit_flags
+
+        passed = explicit_flags(["--mlp-ratio=4.0", "--learning-rate", "1e-3"])
+        assert "mlp_ratio" in passed and "learning_rate" in passed
+        assert "embed_dim" not in passed
+
+    def test_detects_prefix_abbreviation(self):
+        from msfno_tpu.cli import explicit_flags
+
+        # argparse resolves unambiguous prefixes; detection must too
+        passed = explicit_flags(["--mlp-rat", "4.0"])
+        assert "mlp_ratio" in passed
+
+    def test_resume_merge_honors_equals_form(self, tmp_path):
+        from msfno_tpu.cli import (
+            build_parser,
+            configs_from_args,
+            merge_resume_config,
+            postprocess_args,
+        )
+        from msfno_tpu.training.checkpoint import save_checkpoint
+        from msfno_tpu.utils.config import to_json
+
+        argv = TINY + ["--train", "--mlp-ratio=3.0"]
+        args = build_parser().parse_args(argv)
+        postprocess_args(args)
+        model_cfg, _ = configs_from_args(args)
+        # checkpoint stored with the default mlp_ratio
+        stored_cfg, _ = configs_from_args(
+            postprocess_args(build_parser().parse_args(TINY))
+        )
+        cp = str(tmp_path / "cp.npz")
+        save_checkpoint(cp, {"x": np.zeros(1)}, config_json=to_json(stored_cfg))
+        args.resume_checkpoint = cp
+        merged, _ = merge_resume_config(model_cfg, args, argv=argv)
+        assert merged.mlp_ratio == 3.0
 
 
 class TestArgPostprocessing:
