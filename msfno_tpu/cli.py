@@ -136,6 +136,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "frozen-param HBM traffic; fast/bf16 config only)")
     tr.add_argument("--time-limit", default=None,
                     help="HH:MM:SS graceful-stop wall limit (main.py:149-156)")
+    tr.add_argument("--scan-steps", type=int, default=1,
+                    help="fuse this many optimizer steps into one lax.scan "
+                         "launch (amortizes per-step dispatch; cadence "
+                         "semantics unchanged, 1 = per-batch dispatch)")
     tr.add_argument("--num-iterations", type=int, default=10,
                     help="synthetic batches per epoch")
 
@@ -318,6 +322,7 @@ def configs_from_args(args):
         retrain_film=args.retrain_film,
         seed=args.seed,
         time_limit_s=parse_time_limit(args.time_limit),
+        scan_steps=args.scan_steps,
         bf16_frozen_params=args.bf16_frozen_params,
         advanced_logging=args.advanced_logging,
     )

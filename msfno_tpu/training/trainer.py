@@ -325,6 +325,34 @@ class Trainer:
         sst = jnp.asarray(batch.sst) if batch.sst is not None else None
         return era5, sst
 
+    def _device_chunk(self, batches: list[Batch]):
+        """Stack K batches to (K, S, B, ...) and upload once, for the
+        scan-chained `_train_steps` program."""
+        era5 = np.stack([np.asarray(b.era5) for b in batches])
+        sst = (
+            np.stack([np.asarray(b.sst) for b in batches])
+            if batches[0].sst is not None
+            else None
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            era5 = jax.device_put(
+                era5,
+                NamedSharding(
+                    self.mesh, P(None, None, "data", "lat", None, None)
+                ),
+            )
+            if sst is not None:
+                sst = jax.device_put(
+                    sst,
+                    NamedSharding(
+                        self.mesh, P(None, None, "data", None, None, None)
+                    ),
+                )
+            return era5, sst
+        return jnp.asarray(era5), (jnp.asarray(sst) if sst is not None else None)
+
     def _epoch_iterator(self, loader, epoch: int, num_batches: int):
         """Resolve the per-epoch batch iterator (reference pre_epoch seeding +
         sampler.set_epoch, train.py:300-305).  Accepts a PrefetchLoader (has
@@ -370,26 +398,70 @@ class Trainer:
         # re-numbering checkpoints of — the completed ones.  One-shot so a
         # later train() call on the same trainer starts fresh.
         start, self.start_epoch = self.start_epoch, 0
+        # scan_steps > 1: fuse K optimizer steps into one lax.scan launch
+        # (`_train_steps`), amortizing per-step dispatch.  Chunks never
+        # straddle a validation boundary and loader tails fall back to
+        # single steps, so cadence (validation/checkpoint/log order) is
+        # bit-identical to the per-batch loop.
+        K = max(1, t.scan_steps)
 
-        # Metric fetches are deferred by ONE step so the host never blocks on
-        # the step it just dispatched: batch k+1's host->device upload and
-        # launch are already queued when we block on step k's scalars, letting
-        # the (hundreds-of-MB) input copy overlap the previous step's compute.
-        # Values and log order are identical to the synchronous loop.
-        pending = None  # (iter_no, metrics, film_scale) of the previous step
+        # Metric fetches are deferred by ONE dispatch so the host never
+        # blocks on the step it just launched: batch k+1's host->device
+        # upload and launch are already queued when we block on step k's
+        # scalars, letting the (hundreds-of-MB) input copy overlap the
+        # previous step's compute.  Values and log order are identical to
+        # the synchronous loop.
+        pending = None  # ("single"|"scan", first_iter, metrics, film_scale)
 
         def flush(p):
             if p is None:
                 return
-            it_no, m, fs = p
-            self.writer.log(
-                {
-                    "loss": float(m["loss"]),
-                    "grad_norm": float(m["grad_norm"]),
-                    "film scale": float(fs),
-                },
-                step=it_no,
-            )
+            kind, it0, m, fs = p
+            if kind == "single":
+                self.writer.log(
+                    {
+                        "loss": float(m["loss"]),
+                        "grad_norm": float(m["grad_norm"]),
+                        "film scale": float(fs),
+                    },
+                    step=it0,
+                )
+            else:  # scan: metrics carry a leading K axis, one row per step
+                loss = np.asarray(m["loss"])
+                gnorm = np.asarray(m["grad_norm"])
+                for j in range(loss.shape[0]):
+                    self.writer.log(
+                        {
+                            "loss": float(loss[j]),
+                            "grad_norm": float(gnorm[j]),
+                            "film scale": float(fs),
+                        },
+                        step=it0 + j,
+                    )
+
+        def room() -> int:
+            """Steps until the next validation boundary (stable while a
+            chunk buffers: self.iter only advances on dispatch)."""
+            if t.validation_interval <= 0:
+                return K
+            return t.validation_interval - (self.iter % t.validation_interval)
+
+        def run_single(st, batch, pend):
+            era5, sst = self._device_batch(batch)
+            st, metrics = self._train_step(st, era5, sst)
+            self.iter += 1
+            flush(pend)
+            return st, ("single", self.iter, metrics, st.film_scale)
+
+        def run_chunk(st, batches, pend):
+            era5, sst = self._device_chunk(batches)
+            st, metrics = self._train_steps(st, era5, sst)
+            first = self.iter + 1
+            self.iter += len(batches)
+            flush(pend)
+            # film_scale is constant within a chunk: it only moves in
+            # validation(), and chunks never cross a validation boundary
+            return st, ("scan", first, metrics, st.film_scale)
 
         # one sync here; afterwards self.iter mirrors state.step host-side
         # (_train_step_impl advances it by exactly +1 per call)
@@ -397,13 +469,10 @@ class Trainer:
         try:
             for self.epoch in range(start, t.training_epochs):
                 it = self._epoch_iterator(loader, self.epoch, num_batches)
-                for i, batch in enumerate(it):
-                    self._check_time_limit()
-                    era5, sst = self._device_batch(batch)
-                    state, metrics = self._train_step(state, era5, sst)
-                    self.iter += 1
-                    flush(pending)
-                    pending = (self.iter, metrics, state.film_scale)
+                buf: list[Batch] = []
+
+                def maybe_validate():
+                    nonlocal state, pending
                     if (
                         t.validation_interval > 0
                         and self.iter % t.validation_interval == 0
@@ -418,6 +487,22 @@ class Trainer:
                             == 0
                         ):
                             self.save_checkpoint(state)
+
+                for batch in it:
+                    self._check_time_limit()
+                    if K > 1 and room() >= K:
+                        buf.append(batch)
+                        if len(buf) < K:
+                            continue
+                        state, pending = run_chunk(state, buf, pending)
+                        buf = []
+                    else:
+                        state, pending = run_single(state, batch, pending)
+                    maybe_validate()
+                for batch in buf:  # loader ended mid-chunk: drain as singles
+                    self._check_time_limit()
+                    state, pending = run_single(state, batch, pending)
+                    maybe_validate()
                 pending = flush(pending)
                 # post_epoch: validate + checkpoint (train.py:307-316)
                 state = self.validation(state, val_loader)

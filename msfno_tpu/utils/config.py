@@ -199,6 +199,14 @@ class TrainConfig:
     retrain_film: bool = False  # unfreeze decoder + last blocks too
     seed: int = 42
     time_limit_s: float | None = None  # graceful stop (train.py:821-828)
+    # Fuse this many sequential optimizer steps into ONE lax.scan launch
+    # (trainer.train_steps): amortizes per-step host dispatch (~3-5 ms over
+    # the remote-TPU relay; measured 66.5 -> 62.5 ms/step full-size).  The
+    # host loop keeps the exact cadence contract — scan chunks never straddle
+    # a validation boundary, partial tails fall back to single dispatched
+    # steps — so logs/validation/checkpoints are identical to scan_steps=1.
+    # No reference analogue (its loop dispatches per batch, train.py:201-298).
+    scan_steps: int = 1
     # reference --advanced-logging (main.py:1047-1051): extra observability.
     # Per-variable MSE and gamma/beta stats are always logged here (cheap
     # under jit, unlike the reference's eager all_reduces); this flag adds

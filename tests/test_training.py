@@ -292,6 +292,57 @@ class TestTrainer:
         # host-mirrored iteration counter matches the device step counter
         assert tr.iter == int(state.step) == 4
 
+    def test_scan_steps_train_loop_equivalence(self):
+        """`--scan-steps K` must be a pure dispatch optimization: the full
+        train() loop with K=2 reproduces the K=1 loop exactly — same logged
+        step sequence and record order (train rows before their validation),
+        same losses, same final params — across validation boundaries,
+        mid-chunk loader tails, and epoch boundaries."""
+        cfg = small_cfg(film=True)
+        common = dict(
+            batch_size=1,
+            learning_rate=1e-3,
+            validation_interval=3,
+            training_epochs=2,
+            film_scale_start=0.0,
+        )
+
+        def run(k):
+            tr = Trainer(cfg, TrainConfig(**common, scan_steps=k))
+            state = tr.init_state()
+            # 7 batches/epoch with vi=3 and K=2 exercises: full chunks,
+            # the pre-boundary single fallback (room<K), the end-of-epoch
+            # buffered tail, and the epoch restart
+            state = tr.train(state, num_batches=7)
+            return tr, state
+
+        tr1, s1 = run(1)
+        tr2, s2 = run(2)
+
+        def trace(tr):
+            out = []
+            for r in tr.writer.records:
+                if "loss" in r:
+                    out.append(("train", r["_step"], r["loss"]))
+                elif "validation loss step=0" in r:
+                    out.append(("val", r["_step"], r["validation loss step=0"]))
+            return out
+
+        t1, t2 = trace(tr1), trace(tr2)
+        assert [(k, s) for k, s, _ in t1] == [(k, s) for k, s, _ in t2]
+        np.testing.assert_allclose(
+            [v for _, _, v in t1], [v for _, _, v in t2], rtol=1e-5
+        )
+        assert tr1.iter == tr2.iter == int(s2.step) == 14
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.trainable),
+            jax.tree_util.tree_leaves(s2.trainable),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+        assert float(s1.film_scale) == float(s2.film_scale)
+
     def test_time_limit_graceful_stop(self, tmp_path):
         """Hitting the wall mid-epoch unwinds via FinTraining: the deferred
         metric of the already-dispatched step is flushed and a final
