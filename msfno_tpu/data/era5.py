@@ -153,8 +153,13 @@ class NpyBackend:
         return np.load(os.path.join(self.root, f"sst_{idx:06d}.npy"))
 
 
-class ZarrBackend:  # pragma: no cover - requires xarray/zarr
-    """weatherbench2-layout zarr stores (reference data.py:86-104)."""
+class ZarrBackend:
+    """weatherbench2-layout zarr stores (reference data.py:86-104).
+
+    xarray/zarr are absent from this image; runtime coverage comes from the
+    stubbed-xarray harness in tests/test_zarr_backend.py (synthetic in-memory
+    WB2-layout datasets), which pins level re-sort, the rh offset derivation,
+    rh level re-sort/name fallback, and SST coarsening against NpyBackend."""
 
     def __init__(self, path: str, u100_path: str | None = None,
                  v100_path: str | None = None, sst_path: str | None = None,
