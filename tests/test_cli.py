@@ -162,6 +162,21 @@ class TestRealDataActions:
         )
         assert rc == 0
 
+    def test_explicit_year_window_past_store_errors(self, tmp_path, cli_store):
+        """Explicit --trainingset-*/--validationset-* flags outside the store
+        must error, not silently train on the whole store (which could
+        include the validation years).  Default year flags keep the
+        warn-and-fall-back behavior for short stores."""
+        argv = TINY_REAL + [
+            "--train", "--era5-path", cli_store,
+            "--trainingset-start-year", "2016",
+            "--trainingset-end-year", "2018",
+            "--validation-interval", "0", "--validation-batches", "1",
+            "--output-path", str(tmp_path / "out"),
+        ]
+        with pytest.raises(SystemExit, match="starts past the store"):
+            main(argv)
+
     def test_run_from_store_with_date(self, tmp_path, cli_store):
         """--run accepts the same store directory --train does, selecting
         the initial condition by --date/--time (regression: np.load on the
