@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "frozen-param HBM traffic; fast/bf16 config only)")
     tr.add_argument("--time-limit", default=None,
                     help="HH:MM:SS graceful-stop wall limit (main.py:149-156)")
+    tr.add_argument("--checkpoint-backend", default="npz",
+                    choices=["npz", "orbax"],
+                    help="checkpoint save format; orbax writes sharded "
+                         "directories in parallel across hosts (resume "
+                         "accepts either format)")
     tr.add_argument("--scan-steps", type=int, default=1,
                     help="fuse this many optimizer steps into one lax.scan "
                          "launch (amortizes per-step dispatch; cadence "
@@ -323,6 +328,7 @@ def configs_from_args(args):
         seed=args.seed,
         time_limit_s=parse_time_limit(args.time_limit),
         scan_steps=args.scan_steps,
+        checkpoint_backend=args.checkpoint_backend,
         bf16_frozen_params=args.bf16_frozen_params,
         advanced_logging=args.advanced_logging,
     )
@@ -826,11 +832,11 @@ def main(argv=None) -> int:
         )
 
         cps = args.checkpoint_list or select_checkpoints(
-            os.path.join(args.output_path, "checkpoint_*.npz")
+            os.path.join(args.output_path, "checkpoint_*")
         )
         if not cps:
             log.error("no checkpoints to evaluate (--checkpoint-list or "
-                      "checkpoint_*.npz under --output-path)")
+                      "checkpoint_* .npz/orbax under --output-path)")
             return 1
         _, val_factory = build_loaders(args, model_cfg, train_cfg, argv)
         if val_factory is not None:

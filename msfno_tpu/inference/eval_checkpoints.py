@@ -38,8 +38,15 @@ def _checkpoint_sort_key(path: str) -> tuple:
 
 def select_checkpoints(pattern: str, max_count: int = 5) -> list[str]:
     """Equidistant subset of matching checkpoints (reference main.py:305-322),
-    ordered by training iteration."""
-    files = sorted(glob.glob(pattern), key=_checkpoint_sort_key)
+    ordered by training iteration.  Matches .npz files and orbax
+    checkpoint directories."""
+    from msfno_tpu.training.checkpoint import is_orbax_dir
+
+    files = sorted(
+        (f for f in glob.glob(pattern)
+         if f.endswith(".npz") or is_orbax_dir(f)),
+        key=_checkpoint_sort_key,
+    )
     if len(files) <= max_count:
         return files
     idx = np.linspace(0, len(files) - 1, max_count).round().astype(int)

@@ -82,9 +82,25 @@ def save_checkpoint(
     return path
 
 
+def is_orbax_dir(path: str) -> bool:
+    """An orbax checkpoint saved by `save_checkpoint_orbax`: a directory
+    carrying our meta.json sidecar."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "meta.json")
+    )
+
+
 def peek(path: str) -> dict[str, Any]:
     """Checkpoint metadata without loading tensor data (reference peek(),
-    checkpoint.py:44-57)."""
+    checkpoint.py:44-57).  Accepts both formats: .npz files and orbax
+    directories (so --resume-checkpoint works on multi-host sharded saves)."""
+    if is_orbax_dir(path):
+        return peek_orbax(path)
+    if os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{path} is a directory but has no meta.json — not an orbax "
+            f"checkpoint saved by this framework"
+        )
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta/json"]).decode())
         meta["keys"] = [k for k in z.files if k.startswith("params/")]
@@ -92,7 +108,16 @@ def peek(path: str) -> dict[str, Any]:
 
 
 def load_checkpoint(path: str, opt_state_template=None):
-    """Returns (params, opt_state|None, meta)."""
+    """Returns (params, opt_state|None, meta).  Dispatches on format: .npz
+    file or orbax directory — every consumer (CLI resume, --film-weights /
+    --sfno-weights overlays, eval sweeps, registry wrappers) accepts both."""
+    if is_orbax_dir(path):
+        return load_checkpoint_orbax(path, opt_state_template)
+    if os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{path} is a directory but has no meta.json — not an orbax "
+            f"checkpoint saved by this framework"
+        )
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta/json"]).decode())
         flat_params = {

@@ -606,9 +606,13 @@ class Trainer:
             return None
         import os
 
-        name = f"checkpoint_iter={self.iter}_epoch={self.epoch}{tag}.npz"
+        orbax = self.tcfg.checkpoint_backend == "orbax"
+        name = f"checkpoint_iter={self.iter}_epoch={self.epoch}{tag}"
+        if not orbax:
+            name += ".npz"  # orbax checkpoints are directories
         path = os.path.join(self.checkpoint_dir, name)
-        ckpt_io.save_checkpoint(
+        save_fn = ckpt_io.save_checkpoint_orbax if orbax else ckpt_io.save_checkpoint
+        save_fn(
             path,
             state.params,
             opt_state=state.opt_state,

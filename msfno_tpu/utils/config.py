@@ -207,6 +207,10 @@ class TrainConfig:
     # steps — so logs/validation/checkpoints are identical to scan_steps=1.
     # No reference analogue (its loop dispatches per batch, train.py:201-298).
     scan_steps: int = 1
+    # Checkpoint format: "npz" (single file) or "orbax" (directory; sharded
+    # parallel writes across hosts — the TPU-pod production path).  Resume
+    # accepts either format regardless of this setting.
+    checkpoint_backend: str = "npz"
     # reference --advanced-logging (main.py:1047-1051): extra observability.
     # Per-variable MSE and gamma/beta stats are always logged here (cheap
     # under jit, unlike the reference's eager all_reduces); this flag adds

@@ -162,6 +162,43 @@ class TestRealDataActions:
         )
         assert rc == 0
 
+    def test_orbax_checkpoint_save_and_resume(self, tmp_path):
+        """--checkpoint-backend orbax saves directory checkpoints that
+        --resume-checkpoint (and --resume-optimizer) consume directly —
+        multi-host sharded saves are CLI-resumable (VERDICT r2 item 8)."""
+        out = tmp_path / "out"
+        rc = main(
+            TINY
+            + ["--train", "--num-iterations", "2", "--training-epochs", "1",
+               "--validation-interval", "0", "--checkpoint-backend", "orbax",
+               "--output-path", str(out)]
+        )
+        assert rc == 0
+        cps = [f for f in os.listdir(out) if f.startswith("checkpoint_")]
+        assert cps and all(os.path.isdir(out / c) for c in cps)
+        from msfno_tpu.training.checkpoint import load_checkpoint, peek
+
+        meta = peek(str(out / cps[-1]))
+        assert meta["backend"] == "orbax" and meta["step"] == 2
+        # resume continues AFTER the completed epoch 0 -> epochs=2 runs
+        # exactly one more 1-iteration epoch
+        rc = main(
+            TINY
+            + ["--train", "--num-iterations", "1", "--training-epochs", "2",
+               "--validation-interval", "0",
+               "--resume-checkpoint", str(out / cps[-1]),
+               "--resume-optimizer",
+               "--output-path", str(tmp_path / "out2")]
+        )
+        assert rc == 0
+        # the resumed run continued the step counter from the orbax save
+        resumed = [f for f in os.listdir(tmp_path / "out2")
+                   if f.startswith("checkpoint_")]
+        params, _, meta2 = load_checkpoint(
+            str(tmp_path / "out2" / sorted(resumed)[-1])
+        )
+        assert meta2["step"] == 3
+
     def test_explicit_year_window_past_store_errors(self, tmp_path, cli_store):
         """Explicit --trainingset-*/--validationset-* flags outside the store
         must error, not silently train on the whole store (which could
