@@ -916,17 +916,32 @@ def main(argv=None) -> int:
             if args.sst_path and not os.path.isdir(args.sst_path):
                 sst_seq = np.load(args.sst_path)
             elif store_backend is not None and store_backend.sst(store_idx) is not None:
-                # per-step SST windows from the store (window ends at each
-                # forecast valid time, the training-time convention)
+                # per-step SST windows from the store, built with the exact
+                # training-time convention (trainer feeds window index
+                # step+1; era5.rollout_sst_window_start).  Windows outside
+                # the store are an ERROR — the old silent edge clamp reused
+                # boundary frames and scrambled the film conditioning
+                from msfno_tpu.data.era5 import rollout_sst_window_start
+
+                T = f.temporal_step
+                starts = [
+                    rollout_sst_window_start(store_idx, s, T, args.past_sst)
+                    for s in range(steps)
+                ]
+                lo, hi = starts[0], starts[-1] + T - 1
+                if lo < 0 or hi >= len(store_backend):
+                    raise SystemExit(
+                        f"--lead-time {args.lead_time} from store index "
+                        f"{store_idx} needs SST frames [{lo}, {hi}] but the "
+                        f"store has [0, {len(store_backend) - 1}]; shorten "
+                        f"--lead-time, pick another --date, toggle "
+                        f"--past-sst, or supply --sst-path"
+                    )
                 sst_seq = np.stack([
                     np.stack([
-                        store_backend.sst(
-                            min(max(store_idx + s + 1 - (f.temporal_step - 1)
-                                    + k, 0), len(store_backend) - 1)
-                        )
-                        for k in range(f.temporal_step)
+                        store_backend.sst(w0 + k) for k in range(T)
                     ])
-                    for s in range(steps)
+                    for w0 in starts
                 ])[:, None]  # (steps, B=1, T, Hs, Ws)
             else:
                 log.warning("filmed model without --sst-path; synthetic SST")

@@ -82,6 +82,21 @@ def yyyymmddhh_to_index(dataset_start_year: int, t: int) -> int:
     return int(dt.total_seconds()) // (6 * 3600)
 
 
+def rollout_sst_window_start(
+    base: int, step: int, temporal_step: int, past_sst: bool
+) -> int:
+    """SST window start fed at autoregressive rollout step `step` from the
+    initial-condition index `base` — the TRAINING convention, so inference
+    conditioning matches fine-tuning exactly: trainer._rollout_loss feeds
+    window index step+1 of ERA5Dataset's per-sample windows, i.e.
+    ERA5Dataset._sst_window_start(base, step + 1) (reference
+    data.py:204-211,227 with train.py model_forward's data[step+1][1]).
+
+    past_sst=False: [base+step+1, base+step+1+T) — starts at the forecast
+    valid time; past_sst=True: [base+step-T, base+step) — strictly past."""
+    return base + step + 1 - (temporal_step + 1 if past_sst else 0)
+
+
 def assemble_channels(
     scf: np.ndarray,
     u100: np.ndarray,

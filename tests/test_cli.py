@@ -235,6 +235,70 @@ class TestRealDataActions:
         # is implicit in the run completing with finite output)
         assert np.isfinite(data).all()
 
+    FILM_ARGS = [
+        "--model-version", "film", "--coarse-level", "2",
+        "--model-depth", "1", "--film-embed-dim", "8", "--mlp-dim", "8",
+        "--temporal-step", "2",
+    ]
+
+    def _recorded_sst_run(self, tmp_path, cli_store, monkeypatch, extra):
+        """Run the filmed --run flow from the store, recording every SST
+        frame index the window builder reads."""
+        from msfno_tpu.data import era5 as era5_mod
+
+        calls = []
+        orig = era5_mod.NpyBackend.sst
+
+        def spy(self, idx):
+            calls.append(idx)
+            return orig(self, idx)
+
+        monkeypatch.setattr(era5_mod.NpyBackend, "sst", spy)
+        rc = main(
+            TINY_REAL + self.FILM_ARGS
+            + ["--run", "--lead-time", "12", "--era5-path", cli_store,
+               "--output-path", str(tmp_path / "run")]
+            + extra
+        )
+        return rc, calls
+
+    def test_filmed_run_store_sst_windows(self, tmp_path, cli_store,
+                                          monkeypatch):
+        """The store-SST windows fed at rollout step s must be the TRAINING
+        convention's window index s+1 (trainer._rollout_loss feeds
+        sst[step+1]): with --date -> index 3, T=2, past_sst=False the two
+        6h steps read windows [4,5] and [5,6] (VERDICT r2 weak #5)."""
+        rc, calls = self._recorded_sst_run(
+            tmp_path, cli_store, monkeypatch,
+            ["--date", "19790101", "--time", "18"],
+        )
+        assert rc == 0
+        # calls[0] is the has-SST guard read at the init index
+        assert calls[0] == 3
+        assert calls[1:] == [4, 5, 5, 6]
+
+    def test_filmed_run_store_sst_windows_past(self, tmp_path, cli_store,
+                                               monkeypatch):
+        """--past-sst shifts every window strictly before its step:
+        window start = base + s + 1 - (T+1) -> [1,2] and [2,3]."""
+        rc, calls = self._recorded_sst_run(
+            tmp_path, cli_store, monkeypatch,
+            ["--date", "19790101", "--time", "18", "--past-sst"],
+        )
+        assert rc == 0
+        assert calls[1:] == [1, 2, 2, 3]
+
+    def test_filmed_run_store_sst_overrun_errors(self, tmp_path, cli_store):
+        """A lead time whose SST windows run past the store must error, not
+        silently clamp to (and repeat) the boundary frame."""
+        with pytest.raises(SystemExit, match="needs SST frames"):
+            main(
+                TINY_REAL + self.FILM_ARGS
+                + ["--run", "--lead-time", "48", "--era5-path", cli_store,
+                   "--date", "19790104",
+                   "--output-path", str(tmp_path / "run")]
+            )
+
     def test_run_from_store_date_out_of_range(self, tmp_path, cli_store):
         rc = main(
             TINY_REAL

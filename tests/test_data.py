@@ -200,6 +200,22 @@ class TestSSTWindowSemantics:
                 sst[i, :, 0, 0], np.arange(base - T - 1, base - 1)
             )
 
+    def test_rollout_window_matches_training_convention(self):
+        """The --run store-SST helper must produce, at rollout step s, the
+        training pipeline's window index s+1 (trainer._rollout_loss feeds
+        sst[step+1]) in both past_sst modes."""
+        from msfno_tpu.data.era5 import rollout_sst_window_start
+
+        T = 3
+        for past in (False, True):
+            ds = ERA5Dataset(_IdxBackend(60), multi_step=2, temporal_step=T,
+                             past_sst=past)
+            base = 17
+            for s in range(3):
+                assert rollout_sst_window_start(base, s, T, past) == (
+                    ds._sst_window_start(base, s + 1)
+                )
+
     def test_window_bounds_respected(self):
         """Last sample's windows stay inside the backend in both modes."""
         for past in (False, True):
