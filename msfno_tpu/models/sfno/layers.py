@@ -461,6 +461,12 @@ class SpectralConvS2(nn.Module):
             self.forward_transform, self.inverse_transform
         )
         x = forward_transform(x.astype(jnp.float32))
+        # the sharded transforms may store the m axis in an interleaved
+        # (round-robin) layout for load balance; map the canonical tril
+        # column indices through mode_inv (identity when unsharded)
+        mode_inv = getattr(forward_transform, "mode_inv", None)
+        if mode_inv is not None:
+            jj = mode_inv[jj]
         # tril gather over the (possibly m-sharded) dense mode rectangle:
         # under a mesh GSPMD turns this into a balanced gather and the
         # per-mode contraction below runs sharded over the K axis

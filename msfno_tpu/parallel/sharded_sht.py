@@ -21,6 +21,30 @@ mesh axis size with exactness preserved:
   shard_map (a global slice GSPMD lowers to local slicing + rebalance).
 Differentiable end-to-end (shard_map + all_to_all have transposes), so the
 same code path serves training.
+
+Interleaved mode layout (SURVEY section 7.4-3, VERDICT r2 item 6): with the
+default `interleaved=True`, order m lives at position
+  i = (m % P) * (M_pad / P) + m // P
+so shard k holds the round-robin set {m : m == k (mod P)} in ascending order.
+Two wins over contiguous blocks:
+1. Triangular truncation gives order m only L - m live degrees; contiguous
+   assignment hands shard 0 ~2x the live modes of shard P-1.  Round-robin
+   makes every shard's live-mode census equal (+-1), so per-mode downstream
+   work (SpectralConvS2's K-axis contraction) balances.
+2. It makes a TRIANGULAR-BLOCKED Legendre contraction SPMD-compatible: the
+   block {l < cut, m >= cut} of the weight tensor is structurally zero
+   (l < m), and with round-robin every shard's orders below any cut form a
+   static-size local prefix (ceil(cut / P) orders, the SAME on every shard).
+   The Legendre stage then runs as `l_blocks` matmuls that skip the zero
+   block — ~25% fewer FLOPs at l_blocks=2, ~37% at 4, identical shapes on
+   every device (SPMD requires one program).  Contiguous assignment cannot
+   trim: the live prefix length varies per shard.
+
+The spectral m axis is then in PERMUTED order; `mode_perm` (position ->
+original m) / `mode_inv` (m -> position) expose the layout, and
+`to_canonical` gathers back the dense torch_harmonics rectangle.  Per-mode
+consumers must index through `mode_inv` (SpectralConvS2 does); mode-pointwise
+ops (the spectral MLP) are permutation-invariant and need nothing.
 """
 
 from __future__ import annotations
@@ -65,12 +89,30 @@ def _round_up(n: int, p: int) -> int:
     return -(-n // p) * p
 
 
+def interleave_perm(m_pad: int, p: int) -> np.ndarray:
+    """Round-robin order-to-position permutation: perm[i] = original order at
+    position i, with shard k = positions [k*q, (k+1)*q) holding orders
+    {k, k+P, k+2P, ...} ascending (q = m_pad / P)."""
+    q = m_pad // p
+    i = np.arange(m_pad)
+    return (i % q) * p + i // q
+
+
+def _l_cuts(lmax: int, l_blocks: int) -> list[int]:
+    """Monotone cut list [0, ..., lmax] splitting the degree axis into
+    l_blocks near-equal blocks."""
+    cuts = [round(b * lmax / l_blocks) for b in range(l_blocks + 1)]
+    return sorted(set(cuts))
+
+
 class ShardedRealSHT:
     """Forward SHT over a mesh axis.  Call inside or outside jit; input
     (B, H, W, C) sharded over `axis` on H, output (B, L, M_pad, C) sharded
-    over `axis` on M.  Any nlat is supported (padded internally)."""
+    over `axis` on M (in `mode_perm` order when interleaved).  Any nlat is
+    supported (padded internally)."""
 
-    def __init__(self, sht: RealSHT, mesh: Mesh, axis: str = "lat"):
+    def __init__(self, sht: RealSHT, mesh: Mesh, axis: str = "lat",
+                 interleaved: bool = True, l_blocks: int = 2):
         global _constructions
         _constructions += 1
         self.sht = sht
@@ -79,24 +121,53 @@ class ShardedRealSHT:
         self.p = mesh.shape[axis]
         self.h_pad = _round_up(sht.nlat, self.p)
         self.m_pad = _round_up(sht.mmax, self.p)
+        self.interleaved = interleaved and self.p > 1
+        self.l_blocks = max(1, l_blocks) if self.interleaved else 1
         # (M_pad, L, H_pad) fp32; zero rows/cols for padded orders/latitudes
-        self.weights = _pad_axis(
+        weights = _pad_axis(
             _pad_axis(sht.weights, self.m_pad, 0), self.h_pad, 2
         )
-        # merged truncated-DFT analysis matrix (W, 2*M_pad) = [C | -S], each
-        # half zero-padded to M_pad: the local longitude stage is ONE MXU
+        cmat, smat = _dft_analysis_matrices(sht.nlon, sht.mmax)
+        cmat = _pad_axis(cmat, self.m_pad, 1)
+        smat = _pad_axis(smat, self.m_pad, 1)
+        if self.interleaved:
+            self.mode_perm = interleave_perm(self.m_pad, self.p)
+            self.mode_inv = np.argsort(self.mode_perm)
+            weights = weights[self.mode_perm]
+            cmat = cmat[:, self.mode_perm]
+            smat = smat[:, self.mode_perm]
+        else:
+            self.mode_perm = np.arange(self.m_pad)
+            self.mode_inv = self.mode_perm
+        self.weights = weights
+        # merged truncated-DFT analysis matrix (W, 2*M_pad) = [C | -S] in
+        # mode_perm column order: the local longitude stage is ONE MXU
         # matmul (XLA's rfft lowers to the VPU, ~20x slower at full res —
         # same redesign as ops/sht.py, here per latitude band)
-        cmat, smat = _dft_analysis_matrices(sht.nlon, sht.mmax)
-        self.dft = np.concatenate(
-            [_pad_axis(cmat, self.m_pad, 1), _pad_axis(-smat, self.m_pad, 1)],
-            axis=1,
+        self.dft = np.concatenate([cmat, -smat], axis=1)
+        # per-block static prefix: orders at local positions [0, n_b) are the
+        # only ones with m < cut on EVERY shard (round-robin => local
+        # position j holds order j*P + k <= j*P + P - 1)
+        q = self.m_pad // self.p
+        self._cuts = _l_cuts(sht.lmax, self.l_blocks)
+        # the prefix trim is only valid for round-robin (contiguous shards'
+        # live-prefix length varies per device — SPMD forbids that)
+        self._nb = (
+            [min(q, -(-cut // self.p)) for cut in self._cuts[1:]]
+            if self.interleaved
+            else [q] * (len(self._cuts) - 1)
         )
+
+    def to_canonical(self, coeffs: jax.Array) -> jax.Array:
+        """Gather the dense (..., L, mmax, C) torch_harmonics layout."""
+        return coeffs[..., self.mode_inv[: self.sht.mmax], :]
 
     def __call__(self, x: jax.Array) -> jax.Array:
         dft = jnp.asarray(self.dft)
         m_pad = self.m_pad
         axis = self.axis
+        q = m_pad // self.p
+        cuts, nbs = self._cuts, self._nb
         prec = _matmul_precision(self.sht.mxu_dtype)
         if x.shape[-3] != self.h_pad:
             widths = [(0, 0)] * x.ndim
@@ -121,10 +192,31 @@ class ShardedRealSHT:
             fhat = jax.lax.all_to_all(
                 fhat, axis, split_axis=2, concat_axis=1, tiled=True
             )  # (B, H_pad, M_pad/P, C)
-            re = jnp.einsum("mlh,bhmc->blmc", w, jnp.real(fhat),
-                            precision=prec)
-            im = jnp.einsum("mlh,bhmc->blmc", w, jnp.imag(fhat),
-                            precision=prec)
+
+            def legendre(part):
+                # triangular-blocked contraction: block b covers degrees
+                # l in [cuts[b], cuts[b+1]) where only the local order
+                # prefix [0, nbs[b]) can be live; the skipped tail is
+                # structurally zero (l < m) so the output is padded with
+                # exact zeros.  One block (nbs[b] == q) == the dense einsum.
+                outs = []
+                for b in range(len(nbs)):
+                    lo, hi, nb = cuts[b], cuts[b + 1], nbs[b]
+                    ob = jnp.einsum(
+                        "mlh,bhmc->blmc", w[:nb, lo:hi], part[..., :nb, :],
+                        precision=prec,
+                    )
+                    if nb < q:
+                        pad = [(0, 0)] * ob.ndim
+                        pad[-2] = (0, q - nb)
+                        ob = jnp.pad(ob, pad)
+                    outs.append(ob)
+                return outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=-3
+                )
+
+            re = legendre(jnp.real(fhat))
+            im = legendre(jnp.imag(fhat))
             return jax.lax.complex(re, im)
 
         return shard_map(
@@ -137,41 +229,79 @@ class ShardedRealSHT:
 
 
 class ShardedInverseRealSHT:
-    """Inverse SHT over a mesh axis: (B, L, M_pad, C) m-sharded ->
-    (B, H, W, C) latitude-sharded.  Any nlat is supported (computed on the
-    padded grid, sliced back after the shard_map)."""
+    """Inverse SHT over a mesh axis: (B, L, M_pad, C) m-sharded (mode_perm
+    order) -> (B, H, W, C) latitude-sharded.  Any nlat is supported (computed
+    on the padded grid, sliced back after the shard_map)."""
 
-    def __init__(self, isht: InverseRealSHT, mesh: Mesh, axis: str = "lat"):
+    def __init__(self, isht: InverseRealSHT, mesh: Mesh, axis: str = "lat",
+                 interleaved: bool = True, l_blocks: int = 2):
         self.isht = isht
         self.mesh = mesh
         self.axis = axis
         self.p = mesh.shape[axis]
         self.h_pad = _round_up(isht.nlat, self.p)
         self.m_pad = _round_up(isht.mmax, self.p)
-        self.pct = _pad_axis(_pad_axis(isht.pct, self.m_pad, 0), self.h_pad, 2)
-        # merged synthesis matrix (2*M_pad, W) = [Ci; -Si] (halves padded to
-        # M_pad with zero rows): the local longitude stage is one matmul and
-        # the mode truncation is implicit — no irfft, no nfreq zero-pad
+        self.interleaved = interleaved and self.p > 1
+        self.l_blocks = max(1, l_blocks) if self.interleaved else 1
+        pct = _pad_axis(_pad_axis(isht.pct, self.m_pad, 0), self.h_pad, 2)
         ci, si = _dft_synthesis_matrices(isht.nlon, isht.mmax)
-        self.dft = np.concatenate(
-            [_pad_axis(ci, self.m_pad, 0), _pad_axis(-si, self.m_pad, 0)],
-            axis=0,
+        ci = _pad_axis(ci, self.m_pad, 0)
+        si = _pad_axis(si, self.m_pad, 0)
+        if self.interleaved:
+            self.mode_perm = interleave_perm(self.m_pad, self.p)
+            self.mode_inv = np.argsort(self.mode_perm)
+            pct = pct[self.mode_perm]
+            ci = ci[self.mode_perm]
+            si = si[self.mode_perm]
+        else:
+            self.mode_perm = np.arange(self.m_pad)
+            self.mode_inv = self.mode_perm
+        self.pct = pct
+        # merged synthesis matrix (2*M_pad, W) = [Ci; -Si] (halves padded to
+        # M_pad with zero rows, rows in mode_perm order): the local longitude
+        # stage is one matmul and the mode truncation is implicit — no irfft,
+        # no nfreq zero-pad
+        self.dft = np.concatenate([ci, -si], axis=0)
+        q = self.m_pad // self.p
+        self._cuts = _l_cuts(isht.lmax, self.l_blocks)
+        self._nb = (
+            [min(q, -(-cut // self.p)) for cut in self._cuts[1:]]
+            if self.interleaved
+            else [q] * (len(self._cuts) - 1)
         )
 
     def __call__(self, coeffs: jax.Array) -> jax.Array:
         dft = jnp.asarray(self.dft)
         axis = self.axis
         nlat = self.isht.nlat
+        q = self.m_pad // self.p
+        cuts, nbs = self._cuts, self._nb
         prec = _matmul_precision(self.isht.mxu_dtype)
 
         def local(cb, w):
             # cb: (B, L, M_pad/P, C); w: this device's (M_pad/P, L, H_pad)
             # synthesis-pct chunk (m-sharded via in_specs — see the forward
             # transform's rationale)
-            re = jnp.einsum("mlh,blmc->bhmc", w, jnp.real(cb),
-                            precision=prec)
-            im = jnp.einsum("mlh,blmc->bhmc", w, jnp.imag(cb),
-                            precision=prec)
+            def legendre(part):
+                # mirrored triangular blocking: degrees [cuts[b], cuts[b+1])
+                # only reach the local order prefix [0, nbs[b]); orders past
+                # it have zero pct rows there AND zero coefficients (l < m)
+                acc = None
+                for b in range(len(nbs)):
+                    lo, hi, nb = cuts[b], cuts[b + 1], nbs[b]
+                    ob = jnp.einsum(
+                        "mlh,blmc->bhmc", w[:nb, lo:hi],
+                        part[..., lo:hi, :nb, :], precision=prec,
+                    )
+                    if nb < q:
+                        pad = [(0, 0)] * ob.ndim
+                        pad[-2] = (0, q - nb)
+                        ob = jnp.pad(ob, pad)
+                    acc = ob if acc is None else acc + ob
+                return acc
+
+            re = legendre(jnp.real(cb))
+            im = legendre(jnp.imag(cb))
             xm = jax.lax.complex(re, im)  # (B, H_pad, M_pad/P, C)
             # transpose shards back: h gets split, m gets gathered
             xm = jax.lax.all_to_all(
@@ -199,5 +329,9 @@ class ShardedInverseRealSHT:
 
 
 def make_sharded_transforms(sht: RealSHT, isht: InverseRealSHT, mesh: Mesh,
-                            axis: str = "lat"):
-    return ShardedRealSHT(sht, mesh, axis), ShardedInverseRealSHT(isht, mesh, axis)
+                            axis: str = "lat", interleaved: bool = True,
+                            l_blocks: int = 2):
+    return (
+        ShardedRealSHT(sht, mesh, axis, interleaved, l_blocks),
+        ShardedInverseRealSHT(isht, mesh, axis, interleaved, l_blocks),
+    )

@@ -1,4 +1,9 @@
-"""Sharded SHT vs single-device SHT equivalence on the 8-device CPU mesh."""
+"""Sharded SHT vs single-device SHT equivalence on the 8-device CPU mesh.
+
+The sharded transforms default to the interleaved (round-robin) m layout with
+a triangular-blocked Legendre stage (parallel/sharded_sht.py docstring);
+spectral outputs are compared through `to_canonical` / `mode_inv`.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +15,7 @@ from msfno_tpu.ops.sht import InverseRealSHT, RealSHT
 from msfno_tpu.parallel.sharded_sht import (
     ShardedInverseRealSHT,
     ShardedRealSHT,
+    interleave_perm,
     make_sharded_transforms,
 )
 
@@ -17,6 +23,22 @@ from msfno_tpu.parallel.sharded_sht import (
 def _mesh(p):
     devs = np.asarray(jax.devices()[:p]).reshape(p)
     return Mesh(devs, ("lat",))
+
+
+def test_interleave_perm_properties():
+    for m_pad, p in [(16, 2), (16, 4), (24, 8), (8, 8)]:
+        perm = interleave_perm(m_pad, p)
+        # a permutation of range(m_pad)
+        assert sorted(perm.tolist()) == list(range(m_pad))
+        q = m_pad // p
+        for k in range(p):
+            local = perm[k * q : (k + 1) * q]
+            # shard k holds the round-robin residue class, ascending
+            assert all(m % p == k for m in local)
+            assert list(local) == sorted(local)
+        # m=0 stays at position 0 (SpectralAttentionS2's norm_affine pad
+        # trick relies on this)
+        assert perm[0] == 0
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -31,13 +53,36 @@ class TestShardedSHT:
         ssht = ShardedRealSHT(sht, mesh, "lat")
         xd = jax.device_put(x, NamedSharding(mesh, P(None, "lat", None, None)))
         out = ssht(xd)
-        # padded orders beyond mmax are zero
         np.testing.assert_allclose(
-            np.asarray(out[..., : sht.mmax, :]), np.asarray(ref),
+            np.asarray(ssht.to_canonical(out)), np.asarray(ref),
             rtol=1e-4, atol=1e-4,
         )
+        # padded orders (positions not mapped from a real m) are zero
+        pad_pos = np.setdiff1d(
+            np.arange(ssht.m_pad), ssht.mode_inv[: sht.mmax]
+        )
+        if pad_pos.size:
+            np.testing.assert_allclose(
+                np.asarray(out[..., pad_pos, :]), 0.0, atol=1e-6
+            )
+
+    @pytest.mark.parametrize("interleaved,l_blocks", [
+        (False, 1), (True, 1), (True, 2), (True, 4),
+    ])
+    def test_layout_variants_match(self, interleaved, l_blocks):
+        """Contiguous and interleaved layouts at several triangular-block
+        counts all reproduce the unsharded transform."""
+        nlat, nlon, lmax = 32, 64, 16
+        sht = RealSHT(nlat, nlon, lmax=lmax, mmax=lmax + 1)
+        x = jax.random.normal(jax.random.PRNGKey(7), (1, nlat, nlon, 3))
+        ref = sht(x)
+        ssht = ShardedRealSHT(
+            sht, _mesh(4), "lat", interleaved=interleaved, l_blocks=l_blocks
+        )
+        out = ssht(x)
         np.testing.assert_allclose(
-            np.asarray(out[..., sht.mmax :, :]), 0.0, atol=1e-6
+            np.asarray(ssht.to_canonical(out)), np.asarray(ref),
+            rtol=1e-4, atol=1e-4,
         )
 
     @pytest.mark.parametrize("p", [2, 4])
@@ -93,7 +138,7 @@ class TestUnevenLatitude:
         ssht = ShardedRealSHT(sht, _mesh(p), "lat")
         out = ssht(x)
         np.testing.assert_allclose(
-            np.asarray(out[..., : sht.mmax, :]), np.asarray(ref),
+            np.asarray(ssht.to_canonical(out)), np.asarray(ref),
             rtol=1e-4, atol=1e-4,
         )
 
@@ -137,7 +182,8 @@ class TestUnevenLatitude:
 class TestSpectralConvSharded:
     def test_spectral_conv_matches_unsharded(self):
         """SpectralConvS2 under a lat>1 mesh (sharded transforms + K-axis
-        mode sharding) == the single-device result."""
+        mode sharding, interleaved layout via mode_inv) == the single-device
+        result."""
         from jax.sharding import Mesh
 
         from msfno_tpu.models.sfno.layers import SpectralConvS2
@@ -157,4 +203,38 @@ class TestSpectralConvSharded:
             out = jax.jit(conv.apply)(params, x)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_spectral_attention_matches_unsharded(self):
+        """SpectralAttentionS2 (mode-pointwise MLP + the norm_affine m=0
+        fix-up) under a lat>1 mesh == the single-device result."""
+        from jax.sharding import Mesh
+
+        from msfno_tpu.models.sfno.layers import SpectralAttentionS2
+        from msfno_tpu.parallel.annotate import use_mesh
+
+        nlat, nlon, lmax = 16, 32, 8
+        sht = RealSHT(nlat, nlon, lmax=lmax, mmax=lmax + 1)
+        isht = InverseRealSHT(nlat, nlon, lmax=lmax, mmax=lmax + 1)
+        attn = SpectralAttentionS2(sht, isht, embed_dim=6)
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, nlat, nlon, 6))
+        params = attn.init(jax.random.PRNGKey(0), x)
+        ref = attn.apply(params, x)
+        a = jnp.full((2, 1, 1, 6), 1.3)
+        b = jnp.full((2, 1, 1, 6), -0.2)
+        ref_affine = attn.apply(params, x, norm_affine=(a, b))
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+        mesh = Mesh(devs, ("data", "lat", "channel"))
+        with use_mesh(mesh):
+            out = jax.jit(attn.apply)(params, x)
+            out_affine = jax.jit(
+                lambda p, v: attn.apply(p, v, norm_affine=(a, b))
+            )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_affine), np.asarray(ref_affine),
+            rtol=1e-4, atol=1e-4,
         )
