@@ -480,10 +480,28 @@ def restore_train_state(state, trainer, args, model_cfg, train_cfg):
         split_params,
     )
 
-    params, opt_state, meta = load_checkpoint(
-        args.resume_checkpoint,
-        opt_state_template=state.opt_state if args.resume_optimizer else None,
-    )
+    if args.resume_checkpoint.endswith((".tar", ".pkl", ".pt", ".ckpt")):
+        # reference-format torch checkpoint: params-only restore through the
+        # torch-free converter (the reference's own resume reads the same
+        # {"model_state": ...} layout, main.py:179-246 + model.py:207-271);
+        # torch optimizer moments cannot map onto optax state
+        from msfno_tpu.models.convert import load_ecmwf_weights_tar
+
+        result = load_ecmwf_weights_tar(
+            args.resume_checkpoint, num_layers=model_cfg.num_layers
+        )
+        if result["unconverted"]:
+            log.warning("unconverted resume keys (ignored): %s",
+                        result["unconverted"][:10])
+        if args.resume_optimizer:
+            log.warning("--resume-optimizer has no effect on a torch "
+                        "checkpoint; optimizer state starts fresh")
+        params, opt_state, meta = result["params"], None, {}
+    else:
+        params, opt_state, meta = load_checkpoint(
+            args.resume_checkpoint,
+            opt_state_template=state.opt_state if args.resume_optimizer else None,
+        )
     if model_cfg.film is not None:
         pred = film_trainable_predicate(train_cfg.retrain_film, model_cfg.num_layers)
         tr_p, fr_p = split_params(params, pred)
@@ -583,7 +601,13 @@ def main(argv=None) -> int:
 
     args = postprocess_args(args, world_size=world_size_hint())
     model_cfg, train_cfg = configs_from_args(args)
-    if args.resume_checkpoint:
+    if args.resume_checkpoint and not args.resume_checkpoint.endswith(
+        (".tar", ".pkl", ".pt", ".ckpt")
+    ):
+        # reference torch checkpoints carry no config JSON — architecture
+        # comes from the CLI flags (docs/REAL_WEIGHTS.md §3); the converter
+        # still errors on a block-count mismatch, so this cannot silently
+        # run the wrong architecture
         model_cfg, _ = merge_resume_config(model_cfg, args, argv=argv)
 
     from msfno_tpu.models import get_model

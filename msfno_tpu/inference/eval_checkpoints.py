@@ -22,6 +22,31 @@ from msfno_tpu.training.checkpoint import load_checkpoint
 log = logging.getLogger("msfno_tpu")
 
 
+TORCH_CHECKPOINT_SUFFIXES = (".tar", ".pkl", ".pt", ".ckpt")
+
+
+def load_eval_params(path: str, num_layers: int) -> tuple[dict, dict]:
+    """(params, meta) from any supported checkpoint format.
+
+    Native .npz / orbax directories load directly; reference torch
+    checkpoints (the ECMWF ``weights.tar``, reference Trainer saves —
+    sfno/model.py:207-271) convert on the fly through the torch-free
+    reader, which makes ``--eval-model --checkpoint-list weights.tar``
+    the one-command real-weights protocol (docs/REAL_WEIGHTS.md)."""
+    if path.endswith(TORCH_CHECKPOINT_SUFFIXES) and not os.path.isdir(path):
+        from msfno_tpu.models.convert import load_ecmwf_weights_tar
+
+        out = load_ecmwf_weights_tar(path, num_layers=num_layers)
+        if out["unconverted"]:
+            log.warning(
+                "eval: %d unconverted keys in %s (ignored): %s",
+                len(out["unconverted"]), path, out["unconverted"][:10],
+            )
+        return out["params"], {}
+    params, _, meta = load_checkpoint(path)
+    return params, meta
+
+
 def _checkpoint_sort_key(path: str) -> tuple:
     """Numeric (iter, epoch) from 'checkpoint_iter={i}_epoch={e}...' names.
     The trainer writes UNPADDED ints (trainer.py save_checkpoint), so a
@@ -86,8 +111,9 @@ def evaluate_checkpoints(
     if include_sfno_baseline and checkpoint_files:
         runs.insert(0, (checkpoint_files[0], 0.0))
 
+    num_layers = getattr(getattr(module, "cfg", None), "num_layers", 12)
     for cp, scale_override in runs:
-        params, _, meta = load_checkpoint(cp)
+        params, meta = load_eval_params(cp, num_layers)
         scale = (
             scale_override
             if scale_override is not None

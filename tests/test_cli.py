@@ -354,6 +354,79 @@ class TestForecastAndEval:
         rc = main(TINY + ["--eval-model", "--output-path", str(tmp_path)])
         assert rc == 1
 
+    def test_eval_model_from_weights_tar(self, tmp_path):
+        """The one-command real-weights protocol (docs/REAL_WEIGHTS.md):
+        a reference-format torch weights.tar passed straight to
+        --checkpoint-list drives torch-free read -> convert -> rollout ->
+        the reference's skill artifacts (per-variable MSE/skill .npy +
+        plots, sfno/model.py:1292-1486)."""
+        import numpy as np
+        import torch
+
+        from msfno_tpu.cli import build_parser, configs_from_args
+        from msfno_tpu.models import get_model
+        from msfno_tpu.models.convert import export_sfno_state_dict
+
+        args = build_parser().parse_args(TINY)
+        mc, _ = configs_from_args(args)
+        wrapper = get_model("sfno", "latest", cfg=mc)
+        params = wrapper.init_params()
+        sd = {
+            f"module.{k}": torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_sfno_state_dict(params).items()
+        }
+        tar = tmp_path / "weights.tar"
+        torch.save({"model_state": sd}, str(tar))
+        rc = main(
+            TINY
+            + [
+                "--eval-model", "--checkpoint-list", str(tar),
+                "--multi-step-validation", "1",
+                "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 0
+        evaldir = tmp_path / "eval"
+        assert any(
+            f.endswith("_skill.npy") for f in os.listdir(evaldir)
+        ), os.listdir(evaldir)
+        assert any(
+            f.endswith("_mse_model.npy") for f in os.listdir(evaldir)
+        )
+
+    def test_run_from_weights_tar(self, tmp_path):
+        """--run --resume-checkpoint weights.tar (docs/REAL_WEIGHTS.md §3):
+        no config JSON in a torch checkpoint, so architecture comes from the
+        flags; wrapper.load_model converts on the fly."""
+        import numpy as np
+        import torch
+
+        from msfno_tpu.cli import build_parser, configs_from_args
+        from msfno_tpu.models import get_model
+        from msfno_tpu.models.convert import export_sfno_state_dict
+
+        args = build_parser().parse_args(TINY)
+        mc, _ = configs_from_args(args)
+        wrapper = get_model("sfno", "latest", cfg=mc)
+        params = wrapper.init_params()
+        sd = {
+            f"module.{k}": torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_sfno_state_dict(params).items()
+        }
+        tar = tmp_path / "weights.tar"
+        torch.save({"model_state": sd}, str(tar))
+        rc = main(
+            TINY
+            + [
+                "--run", "--lead-time", "12",
+                "--resume-checkpoint", str(tar),
+                "--output-path", str(tmp_path),
+            ]
+        )
+        assert rc == 0
+        data = np.load(tmp_path / "forecast.npz")["forecast"]
+        assert np.isfinite(data).all()
+
 
 class TestResumeSemantics:
     def _train_once(self, tmp_path, extra=()):
