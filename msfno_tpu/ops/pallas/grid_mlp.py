@@ -60,6 +60,30 @@ def _pick_tile(n: int, must_divide: bool) -> int:
     return 512
 
 
+# Mosaic has no lowering for lax.erf/erfc (NotImplementedError on TPU,
+# observed jax 0.9 2026-08-19), so jax.nn.gelu(approximate=False) cannot be
+# used inside the kernel.  Exact gelu is recovered from the Abramowitz &
+# Stegun 7.1.26 rational erf approximation (max abs error 1.5e-7 — below
+# fp32 resolution for gelu's x*Phi(x) output range; only exp is needed,
+# which Mosaic lowers).  The custom VJP's jnp backward (_ref_mlp) keeps the
+# true erf gelu: a <=1.5e-7 fwd/bwd activation mismatch is orders below the
+# bf16 MXU rounding both paths already carry.
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_ERF_P = 0.3275911
+
+
+def _erf_as7126(z):
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + _ERF_P * a)
+    poly = t * (_ERF_A[0] + t * (_ERF_A[1] + t * (
+        _ERF_A[2] + t * (_ERF_A[3] + t * _ERF_A[4]))))
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_as7126(x * 0.7071067811865476))
+
+
 def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
                  mxu_dtype):
     def kernel(*refs):
@@ -83,7 +107,7 @@ def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
                 preferred_element_type=jnp.float32,
             )
         h = h + b1_ref[:]
-        h = jax.nn.gelu(h, approximate=False)
+        h = _gelu_exact(h)
         y = jnp.dot(
             h.astype(mxu_dtype), w2_ref[:],
             preferred_element_type=jnp.float32,

@@ -406,3 +406,52 @@ class TestGridMlpKernel:
         np.testing.assert_allclose(
             np.asarray(y_pal), np.asarray(y_std), rtol=1e-5, atol=1e-5
         )
+
+
+class TestKernelGeluLowering:
+    """Mosaic has no erf/erfc lowering, so the grid-MLP kernel computes
+    exact gelu via the A&S 7.1.26 erf approximation (grid_mlp._gelu_exact).
+    Pin its accuracy so a regression can't silently change numerics."""
+
+    def test_gelu_matches_exact_to_fp32(self):
+        import jax
+        import jax.numpy as jnp
+
+        from msfno_tpu.ops.pallas.grid_mlp import _gelu_exact
+
+        x = jnp.asarray(np.linspace(-8.0, 8.0, 40001), jnp.float32)
+        ref = jax.nn.gelu(x, approximate=False)
+        got = _gelu_exact(x)
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-6
+
+    def test_no_erf_primitives_in_kernel_jaxpr(self):
+        """The fwd pallas path must stay free of lax.erf/erfc (Mosaic
+        NotImplementedError on real TPU, observed 2026-08-19) — interpret
+        mode would happily run them and hide the breakage."""
+        import jax
+        import jax.numpy as jnp
+
+        from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
+
+        x = jnp.zeros((64, 8), jnp.float32)
+        w1 = jnp.zeros((8, 16)); b1 = jnp.zeros((16,)); w2 = jnp.zeros((16, 8))
+        jaxpr = jax.make_jaxpr(
+            lambda a: grid_mlp(a, w1, b1, w2, interpret=True)
+        )(x)
+        prims = {str(e.primitive) for e in jaxpr.jaxpr.eqns}
+
+        def walk(jx, acc):
+            for e in jx.eqns:
+                acc.add(str(e.primitive))
+                for v in e.params.values():
+                    core = getattr(v, "jaxpr", None)
+                    if core is not None:
+                        walk(core, acc)
+                    if isinstance(v, (list, tuple)):
+                        for vv in v:
+                            if getattr(vv, "jaxpr", None) is not None:
+                                walk(vv.jaxpr, acc)
+            return acc
+
+        all_prims = walk(jaxpr.jaxpr, set(prims))
+        assert "erf" not in all_prims and "erfc" not in all_prims, all_prims

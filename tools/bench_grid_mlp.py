@@ -6,7 +6,11 @@ Times the full-size filmed forward step with pallas_grid_mlp off vs on
 721x1440.  Chained timing with a scalar fetch at the end (axon rules;
 see bench.py docstring).
 
-Usage: python tools/bench_grid_mlp.py [iters]
+Usage: python tools/bench_grid_mlp.py [iters] [stage ...]
+  stages: ops | fast-off | fast-on | balanced-off | balanced-on
+  (default: all).  Each stage is independently runnable so the unattended
+  tpu_watch.sh sweep can retry just the stage a tunnel outage killed; the
+  persistent XLA compile cache makes retried stages skip their compiles.
 """
 
 import sys, os
@@ -14,6 +18,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import dataclasses
 import time
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 def _time_forward(cfg, iters):
@@ -65,14 +79,18 @@ def _time_ops(iters):
     w2 = 0.02 * jax.random.normal(key, (E, E))
     pe = 0.02 * jax.random.normal(key, (H, W, E))
 
-    def xla_enc(x):
+    # weights/pe are explicit jit ARGUMENTS, never closure constants: lowering
+    # a closed-over on-device array forces a device->host fetch, and the axon
+    # tunnel cannot move the ~1 GB pe buffer (every closure-constant variant
+    # of this bench wedged the remote_compile channel; 2026-08-18/19)
+    def xla_enc(x, w1, b1, w2, pe):
         h = jax.nn.gelu(x @ w1 + b1, approximate=False)
         return h @ w2 + pe
 
-    def pal_enc(x):
+    def pal_enc(x, w1, b1, w2, pe):
         return grid_mlp(x, w1, b1, w2, pe=pe)
 
-    def pal_enc_f32(x):
+    def pal_enc_f32(x, w1, b1, w2, pe):
         # like-for-like vs the XLA path: same fp32 inputs, no bf16 MXU cast,
         # so the delta isolates the fusion (one HBM round trip) from the
         # dtype choice.  Note XLA's DEFAULT-precision f32 matmul already
@@ -83,24 +101,32 @@ def _time_ops(iters):
     for name, fn in [("encoder xla       ", jax.jit(xla_enc)),
                      ("encoder pallas bf16", jax.jit(pal_enc)),
                      ("encoder pallas f32 ", jax.jit(pal_enc_f32))]:
-        out = fn(x)
+        out = fn(x, w1, b1, w2, pe)
         float(jnp.sum(out[..., 0]))
         t0 = time.perf_counter()
         acc = x
         for _ in range(iters):
             # chain via a cheap reduction back to the input shape
-            out = fn(acc)
+            out = fn(acc, w1, b1, w2, pe)
             acc = x + out[..., :C] * 1e-9
         float(jnp.sum(acc[..., 0]))
         dt = (time.perf_counter() - t0) / iters
         print(f"  {name}: {dt * 1e3:.2f} ms", flush=True)
 
 
-def main(iters: int = 8):
+def main(iters: int = 8, stages: list[str] | None = None):
     import __graft_entry__
 
-    print("== isolated full-res encoder ==", flush=True)
-    _time_ops(iters)
+    _enable_compile_cache()
+    all_stages = ["ops", "fast-off", "fast-on", "balanced-off", "balanced-on"]
+    stages = stages or all_stages
+    for s in stages:
+        if s not in all_stages:
+            raise SystemExit(f"unknown stage {s!r}; choose from {all_stages}")
+
+    if "ops" in stages:
+        print("== isolated full-res encoder ==", flush=True)
+        _time_ops(iters)
 
     for tier, kw in [
         ("fast", dict(fast=True)),
@@ -108,10 +134,15 @@ def main(iters: int = 8):
     ]:
         base = __graft_entry__._flagship_cfg(**kw)
         for label, on in [("off", False), ("on", True)]:
+            if f"{tier}-{label}" not in stages:
+                continue
             cfg = dataclasses.replace(base, pallas_grid_mlp=on)
             print(f"== {tier} tier, grid-mlp {label} ==", flush=True)
             _time_forward(cfg, iters)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    argv = sys.argv[1:]
+    n = int(argv[0]) if argv and argv[0].isdigit() else 8
+    rest = argv[1:] if argv and argv[0].isdigit() else argv
+    main(n, rest or None)
