@@ -34,7 +34,6 @@ import numpy as np
 
 
 def run(out_dir: str, quick: bool = False, seed: int = 0) -> dict:
-    from flax import traverse_util as tu
 
     from msfno_tpu.data.synthetic import gen_coupled_batches
     from msfno_tpu.inference.eval_checkpoints import evaluate_checkpoints
@@ -47,6 +46,7 @@ def run(out_dir: str, quick: bool = False, seed: int = 0) -> dict:
         merge_params,
         split_params,
     )
+    from msfno_tpu.training.checkpoint import merge_film_checkpoint
     from msfno_tpu.training.trainer import Trainer
     from msfno_tpu.utils.config import FilmConfig, SFNOConfig, TrainConfig
 
@@ -107,10 +107,9 @@ def run(out_dir: str, quick: bool = False, seed: int = 0) -> dict:
     state_ft = trainer_ft.init_state()
     # overlay backbone keys onto the fresh filmed tree (exactly the CLI
     # --sfno-weights path, cli.py), then re-split trainable/frozen
-    full = merge_params(state_ft.trainable, state_ft.frozen)
-    flat = dict(tu.flatten_dict(full))
-    flat.update(tu.flatten_dict(backbone))
-    full = tu.unflatten_dict(flat)
+    full = merge_film_checkpoint(
+        merge_params(state_ft.trainable, state_ft.frozen), backbone
+    )
     pred = film_trainable_predicate(False, cfg_filmed.num_layers)
     tr_p, fr_p = split_params(full, pred)
     state_ft = _dc.replace(state_ft, trainable=tr_p, frozen=fr_p)

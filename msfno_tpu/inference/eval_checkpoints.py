@@ -22,7 +22,10 @@ from msfno_tpu.training.checkpoint import load_checkpoint
 log = logging.getLogger("msfno_tpu")
 
 
-TORCH_CHECKPOINT_SUFFIXES = (".tar", ".pkl", ".pt", ".ckpt")
+from msfno_tpu.models.convert import (  # noqa: F401  (re-export)
+    TORCH_CHECKPOINT_SUFFIXES,
+    is_torch_checkpoint,
+)
 
 
 def load_eval_params(path: str, num_layers: int) -> tuple[dict, dict]:
@@ -33,7 +36,7 @@ def load_eval_params(path: str, num_layers: int) -> tuple[dict, dict]:
     sfno/model.py:207-271) convert on the fly through the torch-free
     reader, which makes ``--eval-model --checkpoint-list weights.tar``
     the one-command real-weights protocol (docs/REAL_WEIGHTS.md)."""
-    if path.endswith(TORCH_CHECKPOINT_SUFFIXES) and not os.path.isdir(path):
+    if is_torch_checkpoint(path):
         from msfno_tpu.models.convert import load_ecmwf_weights_tar
 
         out = load_ecmwf_weights_tar(path, num_layers=num_layers)
@@ -112,8 +115,15 @@ def evaluate_checkpoints(
         runs.insert(0, (checkpoint_files[0], 0.0))
 
     num_layers = getattr(getattr(module, "cfg", None), "num_layers", 12)
+    # the scale-0 baseline reuses checkpoint_files[0]: cache the last load so
+    # a multi-GB weights.tar isn't read + torch-converted twice back-to-back
+    last_load: tuple[str, tuple] | None = None
     for cp, scale_override in runs:
-        params, meta = load_eval_params(cp, num_layers)
+        if last_load is not None and last_load[0] == cp:
+            params, meta = last_load[1]
+        else:
+            params, meta = load_eval_params(cp, num_layers)
+            last_load = (cp, (params, meta))
         scale = (
             scale_override
             if scale_override is not None

@@ -546,6 +546,19 @@ def _export_film_key(parts, v, dense_to_linear):
     return None
 
 
+TORCH_CHECKPOINT_SUFFIXES = (".tar", ".pkl", ".pt", ".ckpt")
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """True when `path` should route through the torch-free converter.
+
+    Directory check matters: an Orbax checkpoint DIRECTORY renamed to
+    e.g. run1.ckpt must not be fed to the torch zip/pickle reader."""
+    import os
+
+    return path.endswith(TORCH_CHECKPOINT_SUFFIXES) and not os.path.isdir(path)
+
+
 def load_ecmwf_weights_tar(path: str, num_layers: int = 12) -> dict:
     """Load the ECMWF weights.tar / a reference .pkl checkpoint and convert.
 

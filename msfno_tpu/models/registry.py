@@ -82,7 +82,9 @@ class ModelWrapper:
         (reference load_model, model.py:207-271)."""
         if checkpoint_file is None:
             return self.init_params()
-        if checkpoint_file.endswith((".tar", ".pkl", ".pt", ".ckpt")):
+        from msfno_tpu.models.convert import is_torch_checkpoint
+
+        if is_torch_checkpoint(checkpoint_file):
             from msfno_tpu.models.convert import load_ecmwf_weights_tar
 
             result = load_ecmwf_weights_tar(

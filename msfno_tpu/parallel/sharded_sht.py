@@ -105,6 +105,41 @@ def _l_cuts(lmax: int, l_blocks: int) -> list[int]:
     return sorted(set(cuts))
 
 
+def _mode_layout(p: int, m_pad: int, lmax: int, interleaved: bool,
+                 l_blocks: int):
+    """Shared m-shard layout for the forward AND inverse transforms:
+    (interleaved, l_blocks, mode_perm, mode_inv, cuts, nb).
+
+    One definition keeps the two classes' index math in lockstep — a drift
+    between them would corrupt sharded round-trips silently.
+
+    - mode_perm (position -> original m) is round-robin when interleaved
+      (triangular truncation's work skew balances across shards);
+      mode_inv is its inverse.
+    - cuts: l-block boundaries; nb[b]: per-block static local-order prefix.
+      Orders at local positions [0, nb[b]) are the only ones with m < cut
+      on EVERY shard (round-robin => local position j holds order
+      j*P + k <= j*P + P - 1).  The prefix trim is only valid for
+      round-robin (contiguous shards' live-prefix length varies per
+      device — SPMD forbids that), so the dense fallback is used otherwise."""
+    interleaved = interleaved and p > 1
+    l_blocks = max(1, l_blocks) if interleaved else 1
+    if interleaved:
+        mode_perm = interleave_perm(m_pad, p)
+        mode_inv = np.argsort(mode_perm)
+    else:
+        mode_perm = np.arange(m_pad)
+        mode_inv = mode_perm
+    q = m_pad // p
+    cuts = _l_cuts(lmax, l_blocks)
+    nb = (
+        [min(q, -(-cut // p)) for cut in cuts[1:]]
+        if interleaved
+        else [q] * (len(cuts) - 1)
+    )
+    return interleaved, l_blocks, mode_perm, mode_inv, cuts, nb
+
+
 class ShardedRealSHT:
     """Forward SHT over a mesh axis.  Call inside or outside jit; input
     (B, H, W, C) sharded over `axis` on H, output (B, L, M_pad, C) sharded
@@ -121,8 +156,10 @@ class ShardedRealSHT:
         self.p = mesh.shape[axis]
         self.h_pad = _round_up(sht.nlat, self.p)
         self.m_pad = _round_up(sht.mmax, self.p)
-        self.interleaved = interleaved and self.p > 1
-        self.l_blocks = max(1, l_blocks) if self.interleaved else 1
+        (self.interleaved, self.l_blocks, self.mode_perm, self.mode_inv,
+         self._cuts, self._nb) = _mode_layout(
+            self.p, self.m_pad, sht.lmax, interleaved, l_blocks
+        )
         # (M_pad, L, H_pad) fp32; zero rows/cols for padded orders/latitudes
         weights = _pad_axis(
             _pad_axis(sht.weights, self.m_pad, 0), self.h_pad, 2
@@ -130,32 +167,13 @@ class ShardedRealSHT:
         cmat, smat = _dft_analysis_matrices(sht.nlon, sht.mmax)
         cmat = _pad_axis(cmat, self.m_pad, 1)
         smat = _pad_axis(smat, self.m_pad, 1)
-        if self.interleaved:
-            self.mode_perm = interleave_perm(self.m_pad, self.p)
-            self.mode_inv = np.argsort(self.mode_perm)
-            weights = weights[self.mode_perm]
-            cmat = cmat[:, self.mode_perm]
-            smat = smat[:, self.mode_perm]
-        else:
-            self.mode_perm = np.arange(self.m_pad)
-            self.mode_inv = self.mode_perm
-        self.weights = weights
+        self.weights = weights[self.mode_perm]
         # merged truncated-DFT analysis matrix (W, 2*M_pad) = [C | -S] in
         # mode_perm column order: the local longitude stage is ONE MXU
         # matmul (XLA's rfft lowers to the VPU, ~20x slower at full res —
         # same redesign as ops/sht.py, here per latitude band)
-        self.dft = np.concatenate([cmat, -smat], axis=1)
-        # per-block static prefix: orders at local positions [0, n_b) are the
-        # only ones with m < cut on EVERY shard (round-robin => local
-        # position j holds order j*P + k <= j*P + P - 1)
-        q = self.m_pad // self.p
-        self._cuts = _l_cuts(sht.lmax, self.l_blocks)
-        # the prefix trim is only valid for round-robin (contiguous shards'
-        # live-prefix length varies per device — SPMD forbids that)
-        self._nb = (
-            [min(q, -(-cut // self.p)) for cut in self._cuts[1:]]
-            if self.interleaved
-            else [q] * (len(self._cuts) - 1)
+        self.dft = np.concatenate(
+            [cmat[:, self.mode_perm], -smat[:, self.mode_perm]], axis=1
         )
 
     def to_canonical(self, coeffs: jax.Array) -> jax.Array:
@@ -241,33 +259,21 @@ class ShardedInverseRealSHT:
         self.p = mesh.shape[axis]
         self.h_pad = _round_up(isht.nlat, self.p)
         self.m_pad = _round_up(isht.mmax, self.p)
-        self.interleaved = interleaved and self.p > 1
-        self.l_blocks = max(1, l_blocks) if self.interleaved else 1
+        (self.interleaved, self.l_blocks, self.mode_perm, self.mode_inv,
+         self._cuts, self._nb) = _mode_layout(
+            self.p, self.m_pad, isht.lmax, interleaved, l_blocks
+        )
         pct = _pad_axis(_pad_axis(isht.pct, self.m_pad, 0), self.h_pad, 2)
         ci, si = _dft_synthesis_matrices(isht.nlon, isht.mmax)
         ci = _pad_axis(ci, self.m_pad, 0)
         si = _pad_axis(si, self.m_pad, 0)
-        if self.interleaved:
-            self.mode_perm = interleave_perm(self.m_pad, self.p)
-            self.mode_inv = np.argsort(self.mode_perm)
-            pct = pct[self.mode_perm]
-            ci = ci[self.mode_perm]
-            si = si[self.mode_perm]
-        else:
-            self.mode_perm = np.arange(self.m_pad)
-            self.mode_inv = self.mode_perm
-        self.pct = pct
+        self.pct = pct[self.mode_perm]
         # merged synthesis matrix (2*M_pad, W) = [Ci; -Si] (halves padded to
         # M_pad with zero rows, rows in mode_perm order): the local longitude
         # stage is one matmul and the mode truncation is implicit — no irfft,
         # no nfreq zero-pad
-        self.dft = np.concatenate([ci, -si], axis=0)
-        q = self.m_pad // self.p
-        self._cuts = _l_cuts(isht.lmax, self.l_blocks)
-        self._nb = (
-            [min(q, -(-cut // self.p)) for cut in self._cuts[1:]]
-            if self.interleaved
-            else [q] * (len(self._cuts) - 1)
+        self.dft = np.concatenate(
+            [ci[self.mode_perm], -si[self.mode_perm]], axis=0
         )
 
     def __call__(self, coeffs: jax.Array) -> jax.Array:

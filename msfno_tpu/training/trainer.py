@@ -490,6 +490,18 @@ class Trainer:
 
                 for batch in it:
                     self._check_time_limit()
+                    if buf and np.asarray(batch.era5).shape != np.asarray(
+                        buf[0].era5
+                    ).shape:
+                        # ragged batch mid-stream (e.g. a drop_last=False
+                        # loader tail): _train_steps needs a rectangular
+                        # (K, S, B, ...) stack, so drain the buffered prefix
+                        # as singles, then re-evaluate the normal path with
+                        # room() recomputed at the advanced iter
+                        for b in buf:
+                            state, pending = run_single(state, b, pending)
+                            maybe_validate()
+                        buf = []
                     if K > 1 and room() >= K:
                         buf.append(batch)
                         if len(buf) < K:

@@ -211,7 +211,20 @@ class TestRealDataActions:
             "--validation-interval", "0", "--validation-batches", "1",
             "--output-path", str(tmp_path / "out"),
         ]
-        with pytest.raises(SystemExit, match="starts past the store"):
+        with pytest.raises(SystemExit, match="fix the year flags"):
+            main(argv)
+
+    def test_explicit_end_year_overrun_errors(self, tmp_path, cli_store):
+        """An explicit END year past the store must error too, not silently
+        clamp to the store end (the user would believe they trained on the
+        full requested range)."""
+        argv = TINY_REAL + [
+            "--train", "--era5-path", cli_store,
+            "--trainingset-end-year", "1980",  # store holds 16 steps of 1979
+            "--validation-interval", "0", "--validation-batches", "1",
+            "--output-path", str(tmp_path / "out"),
+        ]
+        with pytest.raises(SystemExit, match="fix the year flags"):
             main(argv)
 
     def test_run_from_store_with_date(self, tmp_path, cli_store):
@@ -426,6 +439,55 @@ class TestForecastAndEval:
         assert rc == 0
         data = np.load(tmp_path / "forecast.npz")["forecast"]
         assert np.isfinite(data).all()
+
+    def test_filmed_train_resume_from_backbone_tar(self, tmp_path):
+        """--train --model-version film --resume-checkpoint <backbone tar>:
+        the backbone-only torch checkpoint must OVERLAY the initialized
+        filmed tree (keeping the fresh film generator, reference
+        strict=False semantics, model.py:216-256), not replace it — a
+        wholesale replace desyncs the param tree from the opt_state and
+        crashes the first train step."""
+        import numpy as np
+        import torch
+
+        from msfno_tpu.cli import build_parser, configs_from_args
+        from msfno_tpu.models import get_model
+        from msfno_tpu.models.convert import export_sfno_state_dict
+
+        args = build_parser().parse_args(TINY)
+        mc, _ = configs_from_args(args)
+        wrapper = get_model("sfno", "latest", cfg=mc)
+        sd = {
+            f"module.{k}": torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in export_sfno_state_dict(wrapper.init_params()).items()
+        }
+        tar = tmp_path / "weights.tar"
+        torch.save({"model_state": sd}, str(tar))
+        rc = main(
+            TINY
+            + ["--model-version", "film", "--coarse-level", "2",
+               "--model-depth", "1", "--film-embed-dim", "8",
+               "--mlp-dim", "8", "--temporal-step", "2",
+               "--train", "--num-iterations", "1",
+               "--validation-interval", "0",
+               "--resume-checkpoint", str(tar),
+               "--output-path", str(tmp_path / "out")]
+        )
+        assert rc == 0
+        assert any(
+            f.startswith("checkpoint_")
+            for f in os.listdir(tmp_path / "out")
+        )
+
+    def test_torch_sniff_ignores_directories(self, tmp_path):
+        """A checkpoint DIRECTORY whose name ends in .ckpt (e.g. a renamed
+        orbax save) must not route to the torch zip/pickle reader."""
+        from msfno_tpu.models.convert import is_torch_checkpoint
+
+        d = tmp_path / "run1.ckpt"
+        d.mkdir()
+        assert not is_torch_checkpoint(str(d))
+        assert is_torch_checkpoint(str(tmp_path / "weights.tar"))
 
 
 class TestResumeSemantics:

@@ -343,6 +343,24 @@ class TestTrainer:
             )
         assert float(s1.film_scale) == float(s2.film_scale)
 
+    def test_scan_steps_ragged_final_batch(self):
+        """A drop_last=False-style loader tail (smaller batch mid-stream)
+        must fall back to single-step dispatch instead of crashing the
+        rectangular (K, S, B, ...) chunk stack."""
+        cfg = small_cfg(film=False)
+        tr = Trainer(cfg, TrainConfig(batch_size=2, validation_interval=0,
+                                      training_epochs=1, scan_steps=2))
+        state = tr.init_state()
+        # 3 full batches then a ragged half batch: positions it INSIDE the
+        # second chunk buffer, the case np.stack used to raise on
+        batches = [gen_batch(cfg, 2, 0, seed=i) for i in range(3)]
+        batches.append(gen_batch(cfg, 1, 0, seed=99))
+        state = tr.train(state, loader=lambda epoch: iter(batches),
+                         num_batches=4)
+        assert tr.iter == int(state.step) == 4
+        steps = [r["_step"] for r in tr.writer.records if "loss" in r]
+        assert steps == [1, 2, 3, 4]
+
     def test_time_limit_graceful_stop(self, tmp_path):
         """Hitting the wall mid-epoch unwinds via FinTraining: the deferred
         metric of the already-dispatched step is flushed and a final

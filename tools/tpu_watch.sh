@@ -8,8 +8,9 @@
 # its own timeout and the watcher re-probes before moving on.
 #
 # Usage: tools/tpu_watch.sh [logfile] [stage ...]
-#   default stages = the round-3 sweep (grid-MLP A/B, scan-step train bench,
-#   balanced-tier profile, headline bench).
+#   default stages = grid-MLP A/B, scan-step train bench, headline bench;
+#   pass explicit stages (shell commands) for any other sweep, e.g.
+#   tools/tpu_watch.sh /tmp/bal.log "python -u tools/bench_balanced.py 10"
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/tpu_sweep.log}
