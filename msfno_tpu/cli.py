@@ -196,6 +196,12 @@ def build_parser() -> argparse.ArgumentParser:
     film.add_argument("--film-gen", dest="film_gen_type", default="gcn_custom",
                       choices=["gcn", "gcn_custom", "transformer", "mae", "none"])
     film.add_argument("--film-layers", type=int, default=1)
+    film.add_argument("--film-compute-dtype", default="float32",
+                      choices=["float32", "bfloat16"],
+                      help="film-generator activation dtype; measured "
+                      "2026-08-19: its bf16 drift DOMINATES the fast "
+                      "tier's error (BASELINE.md tier ladder) — keep "
+                      "fp32 for +6 ms/step and ~30%% less drift")
     film.add_argument("--repeat-film", action="store_true")
     film.add_argument("--model-depth", type=int, default=6)
     film.add_argument("--film-embed-dim", type=int, default=512)
@@ -279,6 +285,7 @@ def configs_from_args(args):
             scale_weight=args.scale_weight,
             dropout=args.dropout,
             cls_input=bool(args.cls),
+            compute_dtype=args.film_compute_dtype,
         )
     model_cfg = SFNOConfig(
         img_size=tuple(args.img_size),
