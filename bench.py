@@ -209,9 +209,14 @@ def main() -> None:
         sst_seq = _mk_seq(sst, jax.random.PRNGKey(2))
         _jroll = jax.jit(_roll)
         float(jnp.sum(_jroll(params, x, sst_seq)))  # compile + warm
-        t0 = time.perf_counter()
-        float(jnp.sum(_jroll(params, x, sst_seq)))
-        dt_scan = (time.perf_counter() - t0) / 32
+        # best-of-3: single scan launches see ±1 ms/step of tunnel/host
+        # interference run-to-run (measured 32.3-33.4 on identical code);
+        # min over repeats is the standard latency-reporting practice
+        dt_scan = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(_jroll(params, x, sst_seq)))
+            dt_scan = min(dt_scan, (time.perf_counter() - t0) / 32)
         info["inscan_latency_ms"] = round(dt_scan * 1e3, 2)
         kick()
 
