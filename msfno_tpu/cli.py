@@ -141,10 +141,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint save format; orbax writes sharded "
                          "directories in parallel across hosts (resume "
                          "accepts either format)")
-    tr.add_argument("--scan-steps", type=int, default=1,
+    tr.add_argument("--scan-steps", default="1",
                     help="fuse this many optimizer steps into one lax.scan "
                          "launch (amortizes per-step dispatch; cadence "
-                         "semantics unchanged, 1 = per-batch dispatch)")
+                         "semantics unchanged, 1 = per-batch dispatch). "
+                         "'auto' derives K from validation-interval and an "
+                         "HBM budget for the stacked input chunk "
+                         "(trainer.auto_scan_steps)")
     tr.add_argument("--num-iterations", type=int, default=10,
                     help="synthetic batches per epoch")
 
@@ -191,6 +194,22 @@ def build_parser() -> argparse.ArgumentParser:
                       "encoder/decoder MLPs (hidden state stays in VMEM)")
     arch.add_argument("--grid-mlp-mxu-dtype", default="bfloat16",
                       choices=["float32", "bfloat16"])
+
+    dist = p.add_argument_group("Distributed")
+    dist.add_argument("--mesh", default="auto",
+                      help="SPMD device mesh (replaces the reference's --ddp "
+                           "launcher, main.py:39-49,1149-1156): 'auto' shards "
+                           "over all global devices when more than one exists "
+                           "(data,lat,channel factorization); 'none' forces "
+                           "single-device; or explicit sizes 'DATA,LAT,CHANNEL' "
+                           "e.g. --mesh 2,2,2")
+    dist.add_argument("--coordinator-address", default=None,
+                      help="multi-host coordinator host:port for "
+                           "jax.distributed.initialize (the reference's "
+                           "MASTER_ADDR/PORT, main.py:45-46); auto-detected "
+                           "on TPU pods / SLURM when omitted")
+    dist.add_argument("--num-processes", type=int, default=None)
+    dist.add_argument("--process-id", type=int, default=None)
 
     film = p.add_argument_group("Architecture Film Gen")
     film.add_argument("--film-gen", dest="film_gen_type", default="gcn_custom",
@@ -334,11 +353,22 @@ def configs_from_args(args):
         retrain_film=args.retrain_film,
         seed=args.seed,
         time_limit_s=parse_time_limit(args.time_limit),
-        scan_steps=args.scan_steps,
+        scan_steps=(
+            1 if str(args.scan_steps).lower() == "auto"
+            else int(args.scan_steps)
+        ),
         checkpoint_backend=args.checkpoint_backend,
         bf16_frozen_params=args.bf16_frozen_params,
         advanced_logging=args.advanced_logging,
     )
+    if str(args.scan_steps).lower() == "auto":
+        import dataclasses
+
+        from msfno_tpu.training.trainer import auto_scan_steps
+
+        train_cfg = dataclasses.replace(
+            train_cfg, scan_steps=auto_scan_steps(model_cfg, train_cfg)
+        )
     return model_cfg, train_cfg
 
 
@@ -472,6 +502,59 @@ def build_loaders(args, model_cfg, train_cfg, argv=None):
         return itertools.islice(val_prefetch.epoch(0), args.validation_batches)
 
     return train_loader, val_factory
+
+
+def resolve_mesh(args):
+    """Build the CLI's SPMD mesh (the wiring the reference does with
+    mp.spawn + ddp_setup behind --ddp, main.py:39-49,1149-1156).
+
+    Called once per action that runs device work.  Bootstraps
+    jax.distributed for multi-host environments first (idempotent,
+    auto-detected unless --coordinator-address is given), then:
+      --mesh none       -> None (single-device escape hatch)
+      --mesh auto       -> make_mesh over all global devices when >1
+                           (one chip keeps the unsharded fast path)
+      --mesh D,L,C      -> explicit (data, lat, channel) sizes
+    The returned mesh flows into Trainer (training/validation), rollout,
+    and evaluation so every CLI workload shards the same way."""
+    mesh_arg = (args.mesh or "auto").strip().lower()
+    if mesh_arg == "none":
+        return None
+    from msfno_tpu.parallel.distributed import initialize_distributed
+    from msfno_tpu.parallel.mesh import make_mesh
+
+    initialize_distributed(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    import jax
+
+    n = len(jax.devices())
+    if mesh_arg != "auto":
+        try:
+            shape = tuple(int(x) for x in mesh_arg.split(","))
+        except ValueError:
+            shape = ()
+        if len(shape) != 3 or any(s < 1 for s in shape):
+            raise SystemExit(
+                f"--mesh must be 'auto', 'none', or three comma-separated "
+                f"sizes data,lat,channel (got {args.mesh!r})"
+            )
+        import math
+
+        need = math.prod(shape)
+        if need > n:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {need} devices but only {n} "
+                f"are visible"
+            )
+        return make_mesh(need, shape=shape)
+    if n > 1:
+        mesh = make_mesh(n)
+        log.info("SPMD mesh over %d devices: %s", n, dict(mesh.shape))
+        return mesh
+    return None
 
 
 def restore_train_state(state, trainer, args, model_cfg, train_cfg):
@@ -738,9 +821,11 @@ def main(argv=None) -> int:
     if args.train or args.test_performance or args.test_batch_size:
         from msfno_tpu.utils.observability import create_writer
 
+        mesh = resolve_mesh(args)
         trainer = wrapper.trainer(
             train_cfg,
             checkpoint_dir=args.output_path,
+            mesh=mesh,
             writer=create_writer(
                 save_dir=args.output_path, use_wandb=args.wandb,
                 project=f"{args.model}-{args.model_version}",
@@ -817,6 +902,12 @@ def main(argv=None) -> int:
             state = _dc.replace(state, trainable=tr_p, frozen=fr_p)
         if args.resume_checkpoint:
             state = restore_train_state(state, trainer, args, model_cfg, train_cfg)
+        if mesh is not None and (args.sfno_weights or args.resume_checkpoint):
+            # overlay/restore replaced leaves with host arrays — put the
+            # state back on the mesh with its canonical param shardings
+            from msfno_tpu.parallel.sharded_train import shard_state
+
+            state = shard_state(state, mesh)
         if args.set_epoch is not None:
             trainer.start_epoch = args.set_epoch
         if args.test_performance:
@@ -840,7 +931,7 @@ def main(argv=None) -> int:
 
         from msfno_tpu.training.trainer import save_forecast as save_forecast_fn
 
-        trainer = wrapper.trainer(train_cfg)
+        trainer = wrapper.trainer(train_cfg, mesh=resolve_mesh(args))
         state = trainer.init_state()
         if args.resume_checkpoint:
             state = restore_train_state(state, trainer, args, model_cfg, train_cfg)
@@ -914,6 +1005,7 @@ def main(argv=None) -> int:
             sst_normalizer=wrapper.sst_normalizer,
             save_path=os.path.join(args.output_path, "eval"),
             include_sfno_baseline=args.eval_sfno,
+            mesh=resolve_mesh(args),
         )
         for name, rep in reports.items():
             log.info("%s: mean skill %.4f", name, float(np.mean(rep.skill)))
@@ -922,6 +1014,15 @@ def main(argv=None) -> int:
     if args.run:
         import numpy as np
 
+        if not 0 <= args.time < 24:
+            # migration footgun: the reference's --time is HHMM (1200 =
+            # noon); here it is the HOUR.  Silently wrapping 1200 % 24 = 0
+            # would run the wrong initial condition without a trace.
+            raise SystemExit(
+                f"--time takes an hour 0-23 (got {args.time}); the "
+                f"reference's HHMM format is not accepted — e.g. pass "
+                f"--time 12 for the reference's --time 1200"
+            )
         if wrapper.params is None:
             wrapper.load_model(args.resume_checkpoint)
         h, w = model_cfg.img_size
@@ -939,7 +1040,7 @@ def main(argv=None) -> int:
             if args.date:
                 store_idx = yyyymmddhh_to_index(
                     args.dataset_start_year,
-                    int(args.date) * 100 + args.time % 24,
+                    int(args.date) * 100 + args.time,  # hour validated above
                 )
                 if not (0 <= store_idx < len(store_backend)):
                     log.error(
@@ -1029,7 +1130,8 @@ def main(argv=None) -> int:
                 )
         outs = []
         for field in wrapper.running(x0, lead_time_h=args.lead_time,
-                                     sst_seq=sst_seq, output=writer):
+                                     sst_seq=sst_seq, output=writer,
+                                     mesh=resolve_mesh(args)):
             outs.append(field)
         if args.output == "npz":
             out_file = os.path.join(args.output_path, "forecast.npz")

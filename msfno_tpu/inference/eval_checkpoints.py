@@ -92,12 +92,16 @@ def evaluate_checkpoints(
     save_path: str | None = None,
     film_scales: dict[str, float] | None = None,
     include_sfno_baseline: bool = False,
+    mesh=None,
 ) -> dict[str, SkillReport]:
     """Roll out each checkpoint over `batches` and score skill vs climatology.
 
     batches: iterable of Batch with era5 (S >= steps+1, B, H, W, C).
     With include_sfno_baseline, the first checkpoint is also evaluated at
     film scale 0 — the pure-SFNO reference (--eval-sfno, model.py:1346-1354).
+    With a mesh, every rollout runs SPMD (the full-resolution skill eval is
+    exactly the memory-bound workload the lat-sharded SHT targets,
+    reference model.py:1292-1486).
     """
     # materialize: the runs loop iterates `batches` once per checkpoint, so a
     # one-shot generator would evaluate only the first run and leave the rest
@@ -147,6 +151,7 @@ def evaluate_checkpoints(
                     normalizer=normalizer,
                     sst_normalizer=sst_normalizer,
                     scale=scale,
+                    mesh=mesh,
                 )
             )
             tar_raw = batch.era5[1 : steps + 1]

@@ -51,7 +51,29 @@ def serving_params(params, dtype=jnp.bfloat16):
     )
 
 
-def make_step_fn(model, params, filmed: bool, scale: float = 1.0) -> Callable:
+def place_rollout_inputs(mesh, params, x0=None, sst_seq=None):
+    """Mesh placement for inference: params get their canonical shardings
+    (pos_embed over lat×channel — the 1 GB buffer sharding exists for),
+    the state is batch/lat-sharded where shapes divide, SST replicated.
+    Single source for rollout / scan_rollout / eval (sharded inference has
+    no reference analogue; the rollout it replaces is single-GPU,
+    model.py:289-372)."""
+    from msfno_tpu.parallel.mesh import batch_pspec, even_put, param_shardings
+
+    params = jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, s), params, param_shardings(mesh, params)
+    )
+    if x0 is not None:
+        x0 = even_put(x0, mesh, batch_pspec())
+    if sst_seq is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sst_seq = jax.device_put(np.asarray(sst_seq), NamedSharding(mesh, P()))
+    return params, x0, sst_seq
+
+
+def make_step_fn(model, params, filmed: bool, scale: float = 1.0,
+                 mesh=None) -> Callable:
     """One normalized-space 6h step: state -> next state.
 
     params are bound as an explicit jit argument, not a closure: closing over
@@ -64,6 +86,17 @@ def make_step_fn(model, params, filmed: bool, scale: float = 1.0) -> Callable:
     else:
         def step(p, x, sst):
             return model.apply({"params": p}, x)
+    if mesh is not None:
+        # activate the annotate hooks during tracing so the grid/spectral
+        # sharding constraints (and the explicit all_to_all SHT) engage
+        from msfno_tpu.parallel.annotate import use_mesh
+
+        inner = step
+
+        def step(p, x, sst):
+            with use_mesh(mesh):
+                return inner(p, x, sst)
+
     jitted = jax.jit(step)
     return lambda x, sst: jitted(params, x, sst)
 
@@ -78,16 +111,21 @@ def rollout(
     sst_normalizer: SSTNormalizer | None = None,
     scale: float = 1.0,
     stepper=None,
+    mesh=None,
 ) -> Iterator[np.ndarray]:
     """Streaming rollout; yields one (B, H, W, C_collect) numpy field per
     step (denormalized unless cfg.denormalize=False).
 
     x0 is the *raw* initial condition; normalization happens on device.
-    """
+    With a mesh, the rollout runs SPMD: params/state sharded, the lat-sharded
+    SHT engaged — the memory-bound full-resolution workload SURVEY §5.7
+    targets."""
     normalizer = normalizer or Normalizer.identity(x0.shape[-1])
     sstn = sst_normalizer or SSTNormalizer.identity()
     filmed = sst_seq is not None
-    step_fn = make_step_fn(model, params, filmed, scale)
+    if mesh is not None:
+        params, x0, sst_seq = place_rollout_inputs(mesh, params, x0, sst_seq)
+    step_fn = make_step_fn(model, params, filmed, scale, mesh=mesh)
 
     collect = (
         np.asarray(cfg.collect_channels)
@@ -139,14 +177,19 @@ def scan_rollout(
     sst_normalizer: SSTNormalizer | None = None,
     scale: float = 1.0,
     collect_channels: Sequence[int] | None = None,
+    mesh=None,
 ):
     """Whole-rollout-in-one-program variant via lax.scan.  Returns
     (steps, B, H, W, C_collect) normalized-space outputs on device.
     The compiled program is cached: repeat calls with the same model /
-    steps / normalization only swap in new params and inputs."""
+    steps / normalization only swap in new params and inputs.
+    With a mesh, the whole scan runs SPMD (params sharded, lat-sharded SHT
+    active, carry constrained to the grid sharding)."""
     normalizer = normalizer or Normalizer.identity(x0.shape[-1])
     sstn = sst_normalizer or SSTNormalizer.identity()
     filmed = sst_seq is not None
+    if mesh is not None:
+        params, x0, sst_seq = place_rollout_inputs(mesh, params, x0, sst_seq)
     collect_t = (
         tuple(int(c) for c in collect_channels)
         if collect_channels is not None
@@ -161,6 +204,7 @@ def scan_rollout(
         np.asarray(normalizer.means).tobytes(),
         np.asarray(normalizer.stds).tobytes(),
         repr(sstn),
+        mesh,
     )
     run = _SCAN_PROGRAMS.get(key)
     if run is None:
@@ -168,7 +212,7 @@ def scan_rollout(
             jnp.asarray(np.asarray(collect_t)) if collect_t is not None else None
         )
 
-        def _run(params, x0, xs):
+        def _body_scan(params, x0, xs):
             def body(state, sst_i):
                 if filmed:
                     nxt = model.apply(
@@ -181,6 +225,15 @@ def scan_rollout(
 
             _, outs = jax.lax.scan(body, normalizer(x0), xs, length=steps)
             return outs
+
+        if mesh is None:
+            _run = _body_scan
+        else:
+            from msfno_tpu.parallel.annotate import use_mesh
+
+            def _run(params, x0, xs):
+                with use_mesh(mesh):
+                    return _body_scan(params, x0, xs)
 
         run = _SCAN_PROGRAMS[key] = jax.jit(_run)
     xs = sst_seq if filmed else jnp.zeros((steps, 0))

@@ -123,10 +123,12 @@ class ModelWrapper:
         sst_seq: np.ndarray | None = None,
         collect_channels: Sequence[int] | None = None,
         output=None,
+        mesh=None,
     ):
         """Autoregressive forecast (reference running(), model.py:289-372).
         Yields denormalized fields per 6h step; optionally writes each step
-        to an `output` (see msfno_tpu/inference/outputs.py)."""
+        to an `output` (see msfno_tpu/inference/outputs.py).  With a mesh the
+        rollout runs SPMD (sharded params + lat-sharded SHT)."""
         steps = lead_time_h // 6
         stepper = Stepper(steps)
         filmed = isinstance(self.module, FourierNeuralOperatorNetFilmed)
@@ -140,6 +142,7 @@ class ModelWrapper:
             normalizer=self.normalizer,
             sst_normalizer=self.sst_normalizer,
             stepper=stepper,
+            mesh=mesh,
         )
         for i, field in enumerate(it):
             if output is not None:

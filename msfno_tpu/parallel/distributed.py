@@ -24,9 +24,13 @@ def _multi_host_env() -> bool:
     multi-task SLURM allocation."""
     import os
 
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    # >1 hostnames means a pod; single-host stacks (incl. the axon tunnel)
+    # set TPU_WORKER_HOSTNAMES=localhost, where argument-free
+    # jax.distributed.initialize() would fail wanting a coordinator
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         return True
     try:
         return int(os.environ.get("SLURM_NTASKS", "1")) > 1

@@ -95,6 +95,37 @@ def io_shardings(mesh: Mesh):
     }
 
 
+def even_pspec(shape: tuple[int, ...], spec: P, mesh: Mesh) -> P:
+    """Drop spec axes whose mesh size does not divide the array dimension.
+
+    `jax.device_put` (host placement) requires even splits — unlike
+    with_sharding_constraint inside jit, where GSPMD pads.  The full-res
+    721-latitude grid over lat=2 is the motivating case: the input lands
+    replicated (or batch-sharded only) and the first annotate/shard_map
+    inside the jitted step re-shards it with padding.  Axes also drop when
+    the dim is smaller than the axis (batch 1 over data=2 would leave a
+    zero-sized shard)."""
+    names = list(spec) + [None] * (len(shape) - len(spec))
+    out = []
+    for dim, name in zip(shape, names):
+        if name is None:
+            out.append(None)
+            continue
+        axes = name if isinstance(name, tuple) else (name,)
+        size = math.prod(mesh.shape[a] for a in axes)
+        out.append(name if dim % size == 0 else None)
+    return P(*out)
+
+
+def even_put(x, mesh: Mesh, spec: P):
+    """device_put with the divisibility-safe subset of `spec` (see
+    even_pspec)."""
+    x = np.asarray(x)
+    return jax.device_put(
+        x, NamedSharding(mesh, even_pspec(x.shape, spec, mesh))
+    )
+
+
 def param_pspec(path: tuple[str, ...], value) -> P:
     """Parameter sharding rules.  Most params are small and replicated; the
     pos_embed (H, W, C — ~1 GB at full size, sfnonet.py:528-530) is sharded

@@ -69,13 +69,18 @@ def make_sharded_train_step(trainer: Trainer, mesh: Mesh):
     """Returns (step_fn, place_batch).  step_fn(state, era5, sst) is jitted
     over the mesh; call it (and trace it) inside the returned context."""
     io = io_shardings(mesh)  # single source of the canonical batch specs
-    era5_sharding = io["era5"]
-    sst_sharding = io["sst"]
+    era5_spec = io["era5"].spec
+    sst_spec = io["sst"].spec
 
     def place_batch(era5, sst=None):
-        era5 = jax.device_put(np.asarray(era5), era5_sharding)
+        from msfno_tpu.parallel.mesh import even_put
+
+        # even_put drops spec axes the shape can't split evenly (721 lat
+        # rows over lat=2, batch 1 over data=2); the jitted step's first
+        # sharding constraint re-shards with GSPMD padding
+        era5 = even_put(era5, mesh, era5_spec)
         if sst is not None:
-            sst = jax.device_put(np.asarray(sst), sst_sharding)
+            sst = even_put(sst, mesh, sst_spec)
         return era5, sst
 
     def step(state, era5, sst):

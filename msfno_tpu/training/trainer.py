@@ -40,6 +40,76 @@ from msfno_tpu.utils.observability import FinTraining, LocalLog, Timer
 log = logging.getLogger("msfno_tpu")
 
 
+def _is_oom_error(e: Exception) -> bool:
+    """True for OOM-shaped device failures (XlaRuntimeError with
+    RESOURCE_EXHAUSTED / allocator out-of-memory text).  Used by
+    test_batch_size so only memory exhaustion shrinks the answer."""
+    msg = str(e)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "out of memory" in msg.lower()
+        or "exceeds the maximum" in msg.lower()
+    )
+
+
+def chunk_input_bytes_per_step(model_cfg: SFNOConfig, train_cfg: TrainConfig) -> int:
+    """Host/HBM bytes of ONE batch inside a scan chunk: _device_chunk stacks
+    K of these into a single (K, S, B, ...) fp32 buffer (S = multi-step
+    rollout states + target)."""
+    h, w = model_cfg.img_size
+    s = train_cfg.multi_step_training + 2
+    n = s * train_cfg.batch_size * h * w * model_cfg.in_chans
+    if model_cfg.film is not None:
+        f = model_cfg.film
+        n += (
+            s
+            * train_cfg.batch_size
+            * f.temporal_step
+            * f.sst_shape[0]
+            * f.sst_shape[1]
+        )
+    return n * 4  # fp32
+
+
+def auto_scan_steps(
+    model_cfg: SFNOConfig,
+    train_cfg: TrainConfig,
+    hbm_budget_bytes: int | None = None,
+    max_k: int = 16,
+) -> int:
+    """Derive K for --scan-steps auto.
+
+    K is the largest value that (a) divides validation_interval — chunks
+    then tile the cadence exactly, with no ragged drain before every
+    validation; (b) keeps the stacked (K, S, B, H, W, C) input chunk under
+    an HBM budget (default: a quarter of the device's bytes_limit — the
+    rest stays free for params, optimizer state, and activations); and
+    (c) is at most max_k (dispatch amortization flattens out — measured
+    62.5 ms/step at K=8 full size, tools/bench_train_step.py)."""
+    if hbm_budget_bytes is None:
+        limit = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = (stats or {}).get("bytes_limit")
+        except Exception:
+            limit = None
+        limit = limit or 16 * 2**30  # v5e-class default
+        hbm_budget_bytes = limit // 4
+    per = chunk_input_bytes_per_step(model_cfg, train_cfg)
+    cap = int(max(1, min(max_k, hbm_budget_bytes // max(per, 1))))
+    vi = train_cfg.validation_interval
+    if vi and vi > 0:
+        k = max(d for d in range(1, cap + 1) if vi % d == 0)
+    else:
+        k = cap
+    log.info(
+        "scan-steps auto: K=%d (chunk %.0f MB of %.0f MB budget, "
+        "validation_interval=%s)",
+        k, k * per / 2**20, hbm_budget_bytes / 2**20, vi,
+    )
+    return k
+
+
 @struct.dataclass
 class TrainState:
     trainable: dict
@@ -306,17 +376,15 @@ class Trainer:
 
     def _device_batch(self, batch: Batch):
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            era5 = jax.device_put(
-                np.asarray(batch.era5),
-                NamedSharding(self.mesh, P(None, "data", "lat", None, None)),
+            from msfno_tpu.parallel.mesh import even_put
+
+            era5 = even_put(
+                batch.era5, self.mesh, P(None, "data", "lat", None, None)
             )
             sst = (
-                jax.device_put(
-                    np.asarray(batch.sst),
-                    NamedSharding(self.mesh, P(None, "data", None, None, None)),
-                )
+                even_put(batch.sst, self.mesh, P(None, "data", None, None, None))
                 if batch.sst is not None
                 else None
             )
@@ -335,20 +403,16 @@ class Trainer:
             else None
         )
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            era5 = jax.device_put(
-                era5,
-                NamedSharding(
-                    self.mesh, P(None, None, "data", "lat", None, None)
-                ),
+            from msfno_tpu.parallel.mesh import even_put
+
+            era5 = even_put(
+                era5, self.mesh, P(None, None, "data", "lat", None, None)
             )
             if sst is not None:
-                sst = jax.device_put(
-                    sst,
-                    NamedSharding(
-                        self.mesh, P(None, None, "data", None, None, None)
-                    ),
+                sst = even_put(
+                    sst, self.mesh, P(None, None, "data", None, None, None)
                 )
             return era5, sst
         return jnp.asarray(era5), (jnp.asarray(sst) if sst is not None else None)
@@ -659,7 +723,16 @@ class Trainer:
         batch = gen_batch(self.cfg, self.tcfg.batch_size, 0, seed=0)
         era5, sst = self._device_batch(batch)
         params = state.params
-        fwd = jax.jit(lambda p, x, s: self._apply(p, x, s, state.film_scale))
+
+        def _fwd(p, x, s):
+            if self.mesh is not None:
+                from msfno_tpu.parallel.annotate import use_mesh
+
+                with use_mesh(self.mesh):
+                    return self._apply(p, x, s, state.film_scale)
+            return self._apply(p, x, s, state.film_scale)
+
+        fwd = jax.jit(_fwd)
         fwd(params, era5[0], sst[0] if sst is not None else None).block_until_ready()
         with Timer("model fwd", divisor=iters) as tm:
             for _ in range(iters):
@@ -675,25 +748,35 @@ class Trainer:
                     break
         return tm.seconds
 
+    def _probe_batch_size(self, b: int) -> None:
+        """One full train step at batch size b (raises on failure)."""
+        tcfg = dataclasses.replace(self.tcfg, batch_size=b)
+        probe = Trainer(self.cfg, tcfg, mesh=self.mesh)
+        st = probe.init_state()
+        batch = gen_batch(self.cfg, b, tcfg.multi_step_training, seed=0)
+        era5, sst = probe._device_batch(batch)
+        st, m = probe._train_step(st, era5, sst)
+        jax.block_until_ready(m["loss"])
+
     def test_batch_size(
         self, candidates: tuple[int, ...] = (1, 2, 4, 8, 16)
     ) -> int:
-        """Grow batch size until OOM on synthetic data (train.py:1296-1337)."""
+        """Grow batch size until OOM on synthetic data (train.py:1296-1337).
+
+        ONLY OOM-shaped failures terminate the sweep; anything else (a shape
+        bug, a dead tunnel) propagates — swallowing it would report a wrong
+        max batch instead of erroring."""
         best = 0
         for b in candidates:
             try:
-                tcfg = dataclasses.replace(self.tcfg, batch_size=b)
-                probe = Trainer(self.cfg, tcfg)
-                st = probe.init_state()
-                batch = gen_batch(self.cfg, b, tcfg.multi_step_training, seed=0)
-                era5, sst = probe._device_batch(batch)
-                st, m = probe._train_step(st, era5, sst)
-                jax.block_until_ready(m["loss"])
-                best = b
-                log.info("batch size %d OK", b)
-            except Exception as e:  # XlaRuntimeError on OOM
-                log.info("batch size %d failed: %s", b, type(e).__name__)
+                self._probe_batch_size(b)
+            except Exception as e:
+                if not _is_oom_error(e):
+                    raise
+                log.info("batch size %d OOM (%s)", b, type(e).__name__)
                 break
+            best = b
+            log.info("batch size %d OK", b)
         return best
 
 
@@ -737,6 +820,7 @@ def save_forecast(
                 normalizer=trainer.normalizer,
                 sst_normalizer=trainer.sst_normalizer,
                 scale=float(state.film_scale),
+                mesh=trainer.mesh,
             )
         )
         # denormalize and append per init time: (steps, H, W, C)
