@@ -238,6 +238,66 @@ def main() -> None:
                 info["fast_tflops_per_s"] = round(flops / dt_fast / 1e12, 1)
         except Exception:
             pass
+
+        # filmed fine-tune TRAIN step, driver-visible (VERDICT r3 weak #2):
+        # fast tier + bf16 frozen backbone, batch 1 — the production
+        # fine-tuning config.  Dispatched and scan-chained (K=8, the
+        # trainer's `--scan-steps` path) ms/step.  Failures here must not
+        # cost the headline inference metric.
+        try:
+            # the forward tiers' compiled programs and their param copy are
+            # no longer needed; free their HBM before the train state
+            # (params + film-gen adam moments + bf16 frozen copy) allocates
+            del parity_c, bal_c, fast_c, _jroll, y_p, y_b, y_f, out_fast
+            del params, out_parity
+            from msfno_tpu.training.trainer import Trainer
+            from msfno_tpu.data.synthetic import gen_batch
+            from msfno_tpu.utils.config import TrainConfig
+
+            tcfg = TrainConfig(
+                batch_size=1, film_scale_start=1.0, bf16_frozen_params=True
+            )
+            import dataclasses as _dc
+
+            # film-only training (film_layers=1) backprops only through the
+            # last block + decoder; per-block remat would just re-run block
+            # 11's full-res inverse SHT in the backward for no memory win
+            # (measured +9 ms, BASELINE.md fine-tune ladder)
+            tr_cfg = _dc.replace(
+                __graft_entry__._flagship_cfg(fast=True),
+                checkpointing_block=False,
+            )
+            trainer = Trainer(tr_cfg, tcfg)
+            tstate = trainer.init_state()
+            tb = gen_batch(trainer.cfg, 1, 0, seed=0)
+            era5 = jnp.asarray(tb.era5)
+            tsst = jnp.asarray(tb.sst)
+            tstate, m = trainer._train_step(tstate, era5, tsst)
+            float(m["loss"])  # compile + sync
+            kick()
+            t0 = time.perf_counter()
+            for _ in range(5):
+                tstate, m = trainer._train_step(tstate, era5, tsst)
+            float(m["loss"])
+            info["train_step_ms"] = round(
+                (time.perf_counter() - t0) / 5 * 1e3, 2
+            )
+            k = 8
+            era5_k = jnp.broadcast_to(era5[None], (k,) + era5.shape)
+            sst_k = jnp.broadcast_to(tsst[None], (k,) + tsst.shape)
+            tstate, m = trainer.train_steps(tstate, era5_k, sst_k)
+            float(m["loss"][-1])  # compile + sync
+            kick()
+            t0 = time.perf_counter()
+            for _ in range(2):
+                tstate, m = trainer.train_steps(tstate, era5_k, sst_k)
+            float(m["loss"][-1])
+            dt_tr = (time.perf_counter() - t0) / (2 * k)
+            info["train_scan_ms"] = round(dt_tr * 1e3, 2)
+            info["train_steps_per_sec"] = round(1.0 / dt_tr, 2)
+        except Exception as e:  # pragma: no cover - TPU-only path
+            info["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
+        kick()
         dt = min(dt_fast, dt_scan)
         label = "msfno_6h_step_721x1440"
     else:

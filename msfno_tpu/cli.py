@@ -189,6 +189,11 @@ def build_parser() -> argparse.ArgumentParser:
     arch.add_argument("--use-pallas", action="store_true")
     arch.add_argument("--spectral-mxu-dtype", default="float32",
                       choices=["float32", "bfloat16"])
+    arch.add_argument("--sht-mxu-dtype", default="float32",
+                      choices=["float32", "bfloat16"],
+                      help="MXU input dtype for the SHT's DFT/Legendre "
+                           "matmuls (fp32 accumulate); bfloat16 is the "
+                           "fast-tier setting")
     arch.add_argument("--pallas-grid-mlp", action="store_true",
                       help="fused Pallas kernel for the full-res "
                       "encoder/decoder MLPs (hidden state stays in VMEM)")
@@ -328,6 +333,7 @@ def configs_from_args(args):
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         spectral_mxu_dtype=args.spectral_mxu_dtype,
+        sht_mxu_dtype=args.sht_mxu_dtype,
         pallas_grid_mlp=args.pallas_grid_mlp,
         grid_mlp_mxu_dtype=args.grid_mlp_mxu_dtype,
         film=film,

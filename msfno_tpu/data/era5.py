@@ -167,6 +167,40 @@ class NpyBackend:
             return None
         return np.load(os.path.join(self.root, f"sst_{idx:06d}.npy"))
 
+    # ---- bulk reads (C++ thread-pool reader, numpy fallback) ----
+    # ERA5Dataset.get_batch / PrefetchLoader take this path when present:
+    # one call reads all B*S step files into ONE preallocated fp32 buffer
+    # (native/loader.cpp), instead of np.load-per-file in Python threads.
+    def _shape(self, kind: str) -> tuple[int, ...]:
+        cache = getattr(self, "_shapes", None)
+        if cache is None:
+            cache = self._shapes = {}
+        if kind not in cache:
+            from msfno_tpu.data.native_loader import npy_info
+
+            cache[kind] = npy_info(
+                os.path.join(self.root, f"{kind}_000000.npy")
+            )[0]
+        return cache[kind]
+
+    def era5_batch(self, idcs) -> np.ndarray:
+        from msfno_tpu.data.native_loader import load_npy_batch
+
+        return load_npy_batch(
+            [os.path.join(self.root, f"era5_{i:06d}.npy") for i in idcs],
+            self._shape("era5"),
+        )
+
+    def sst_batch(self, idcs) -> np.ndarray | None:
+        if not self.has_sst:
+            return None
+        from msfno_tpu.data.native_loader import load_npy_batch
+
+        return load_npy_batch(
+            [os.path.join(self.root, f"sst_{i:06d}.npy") for i in idcs],
+            self._shape("sst"),
+        )
+
 
 class ZarrBackend:
     """weatherbench2-layout zarr stores (reference data.py:86-104).

@@ -967,3 +967,11 @@ def test_run_rejects_hhmm_time(tmp_path):
     with pytest.raises(SystemExit, match="hour 0-23"):
         main(TINY + ["--run", "--mesh", "none", "--lead-time", "6",
                      "--time", "1200", "--output-path", str(tmp_path)])
+
+
+def test_sht_mxu_dtype_flag():
+    from msfno_tpu.cli import build_parser, configs_from_args
+
+    args = build_parser().parse_args(TINY + ["--sht-mxu-dtype", "bfloat16"])
+    mc, _ = configs_from_args(args)
+    assert mc.sht_mxu_dtype == "bfloat16"
