@@ -534,6 +534,8 @@ class Trainer:
             for self.epoch in range(start, t.training_epochs):
                 it = self._epoch_iterator(loader, self.epoch, num_batches)
                 buf: list[Batch] = []
+                t_epoch = time.perf_counter()
+                iter0 = self.iter
 
                 def maybe_validate():
                     nonlocal state, pending
@@ -580,6 +582,18 @@ class Trainer:
                     state, pending = run_single(state, batch, pending)
                     maybe_validate()
                 pending = flush(pending)
+                # per-epoch throughput WITH the input pipeline in the loop
+                # (flush above synced the last step, so this is honest
+                # wall time for load+upload+compute, excluding the
+                # post-epoch validation/checkpoint below)
+                n_steps = self.iter - iter0
+                if n_steps:
+                    dt_epoch = time.perf_counter() - t_epoch
+                    log.info(
+                        "epoch %d: %d steps in %.1fs (%.2f steps/s, "
+                        "data pipeline in the loop)",
+                        self.epoch, n_steps, dt_epoch, n_steps / dt_epoch,
+                    )
                 # post_epoch: validate + checkpoint (train.py:307-316)
                 state = self.validation(state, val_loader)
                 if self.checkpoint_dir:
