@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     data.add_argument("--batch-size-validation", type=int, default=None,
                       help="validation batch size (defaults to --batch-size; "
                            "main.py:778)")
+    data.add_argument("--input-transfer-dtype", default="float32",
+                      choices=["float32", "bfloat16"],
+                      help="dtype of era5/SST fields as transferred to the "
+                           "device; bfloat16 halves host->device bytes "
+                           "(cast in loader workers, overlapped) at ~0.4%% "
+                           "relative input error — for transfer-bandwidth-"
+                           "bound pipelines (BASELINE.md round-4 section)")
     data.add_argument("--cls", default=None,
                       help=".npy of precomputed MAE cls tokens "
                            "(lin-probe input, main.py:554)")
@@ -490,16 +497,23 @@ def build_loaders(args, model_cfg, train_cfg, argv=None):
         multi_step=train_cfg.multi_step_validation,
         start_idx=va_s, end_idx=va_e, **common,
     )
+    transfer_dtype = None
+    if args.input_transfer_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        transfer_dtype = jnp.bfloat16
     train_loader = PrefetchLoader(
         train_ds, batch_size=train_cfg.batch_size,
         shuffle=not args.no_shuffle,
         seed=args.seed, num_workers=args.training_workers,
+        transfer_dtype=transfer_dtype,
     )
     val_prefetch = PrefetchLoader(
         val_ds,
         batch_size=args.batch_size_validation or train_cfg.batch_size,
         shuffle=False,
         num_workers=args.training_workers,
+        transfer_dtype=transfer_dtype,
     )
 
     def val_factory():

@@ -434,12 +434,20 @@ class PrefetchLoader:
     def __init__(self, dataset: ERA5Dataset, batch_size: int = 1,
                  shuffle: bool = False, seed: int = 0, num_workers: int = 2,
                  prefetch: int = 2, drop_last: bool = True,
-                 shard_id: int | None = None, num_shards: int | None = None):
+                 shard_id: int | None = None, num_shards: int | None = None,
+                 transfer_dtype=None):
         """shard_id/num_shards: multi-host data sharding — each host reads a
         disjoint, per-epoch-reshuffled subset (the reference's
         DistributedSampler, train.py:513-515).  Default to this process's
-        position in the jax cluster; pass 0/1 to disable."""
+        position in the jax cluster; pass 0/1 to disable.
+
+        transfer_dtype: cast era5/SST float fields to this dtype (e.g.
+        jnp.bfloat16) inside the WORKER threads, halving host->device
+        transfer bytes at zero main-loop cost (the cast overlaps compute).
+        ~0.4% relative input error on normalized fields — an explicit
+        numerics opt-in for transfer-bandwidth-bound pipelines."""
         self.dataset = dataset
+        self.transfer_dtype = transfer_dtype
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -501,14 +509,23 @@ class PrefetchLoader:
                     order[lo : lo + self.batch_size]]
             if hasattr(self.dataset, "get_batch"):
                 # bulk path: one (native) batch read for era5 + deduped SST
-                return self.dataset.get_batch(idcs)
-            items = [self.dataset[i] for i in idcs]
-            era5 = np.stack([it[0] for it in items], axis=1)  # (S, B, H, W, C)
-            sst = None
-            if items[0][1] is not None:
-                sst = np.stack([it[1] for it in items], axis=1)
-            times = np.stack([it[2] for it in items], axis=1)
-            return Batch(era5=era5, sst=sst, times=times)
+                batch = self.dataset.get_batch(idcs)
+            else:
+                items = [self.dataset[i] for i in idcs]
+                era5 = np.stack([it[0] for it in items], axis=1)  # (S,B,H,W,C)
+                sst = None
+                if items[0][1] is not None:
+                    sst = np.stack([it[1] for it in items], axis=1)
+                times = np.stack([it[2] for it in items], axis=1)
+                batch = Batch(era5=era5, sst=sst, times=times)
+            if self.transfer_dtype is not None:
+                batch = Batch(
+                    era5=batch.era5.astype(self.transfer_dtype),
+                    sst=(batch.sst.astype(self.transfer_dtype)
+                         if batch.sst is not None else None),
+                    times=batch.times,
+                )
+            return batch
 
         def put_or_stop(item) -> bool:
             """Bounded put that re-checks stop: a plain q.put on the full

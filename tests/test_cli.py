@@ -975,3 +975,16 @@ def test_sht_mxu_dtype_flag():
     args = build_parser().parse_args(TINY + ["--sht-mxu-dtype", "bfloat16"])
     mc, _ = configs_from_args(args)
     assert mc.sht_mxu_dtype == "bfloat16"
+
+
+def test_save_forecast_sharded(tmp_path):
+    """--save-forecast under the CLI mesh: the scan_rollout inside
+    save_forecast runs SPMD (trainer.mesh flows through)."""
+    rc = main(
+        TINY
+        + ["--save-forecast", "--mesh", "2,2,2", "--batch-size", "2",
+           "--multi-step-validation", "1", "--num-iterations", "1",
+           "--output-path", str(tmp_path)]
+    )
+    assert rc == 0
+    assert (tmp_path / "forecast_store" / "header.json").exists()

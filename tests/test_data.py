@@ -518,3 +518,33 @@ def test_npy_backend_bulk_reads(tmp_path):
     np.testing.assert_array_equal(bulk[2], be.era5(2))
     sst = be.sst_batch([0, 2])
     np.testing.assert_array_equal(sst[1], be.sst(2))
+
+
+def test_prefetch_loader_transfer_dtype(tmp_path):
+    """transfer_dtype=bfloat16 casts era5/SST in the worker threads; times
+    stay int64 (the --input-transfer-dtype CLI lever)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msfno_tpu.data.era5 import ERA5Dataset, NpyBackend, PrefetchLoader
+
+    root = tmp_path / "store"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        np.save(root / f"era5_{i:06d}.npy",
+                rng.standard_normal((8, 16, 3)).astype(np.float32))
+        np.save(root / f"sst_{i:06d}.npy",
+                rng.standard_normal((4, 8)).astype(np.float32))
+    ds = ERA5Dataset(backend=NpyBackend(str(root)), multi_step=0,
+                     with_sst=True, temporal_step=2)
+    ld = PrefetchLoader(ds, batch_size=1, transfer_dtype=jnp.bfloat16)
+    b = next(iter(ld.epoch(0)))
+    assert b.era5.dtype == jnp.bfloat16
+    assert b.sst.dtype == jnp.bfloat16
+    assert b.times.dtype == np.int64
+    # values survive the cast to bf16 precision
+    ref = next(iter(PrefetchLoader(ds, batch_size=1).epoch(0)))
+    np.testing.assert_allclose(
+        np.asarray(b.era5, np.float32), ref.era5, rtol=1e-2, atol=1e-2
+    )
