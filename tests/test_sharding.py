@@ -281,3 +281,18 @@ class TestMeshCheckpoint:
         era5, sst = tr2._device_batch(batch)
         st3, m = tr2._train_step(st2, era5, sst)
         assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_trainer_mesh_with_scan_steps():
+    """Scan-chained chunks under the mesh: _device_chunk places the
+    (K, S, B, ...) stack with divisibility-safe shardings and the sharded
+    _train_steps program runs the full chunk."""
+    mesh = make_mesh(8, shape=(2, 2, 2))
+    cfg = small_cfg(film=True)
+    tcfg = TrainConfig(batch_size=2, validation_interval=0,
+                       training_epochs=1, film_scale_start=1.0,
+                       scan_steps=2)
+    tr = Trainer(cfg, tcfg, mesh=mesh)
+    state = tr.train(tr.init_state(), num_batches=4)
+    assert int(state.step) == 4
