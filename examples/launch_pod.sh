@@ -4,8 +4,10 @@
 #
 # On a TPU pod slice, run the SAME command on every host (e.g. via
 # `gcloud compute tpus tpu-vm ssh $TPU --worker=all --command=...`);
-# jax.distributed.initialize() wires the global device view
-# (msfno_tpu/parallel/distributed.py) and the mesh spans ICI.
+# the CLI bootstraps jax.distributed and builds the (data, lat, channel)
+# mesh over all global devices itself (--mesh auto is the default;
+# override the factorization with --mesh D,L,C, or pass
+# --coordinator-address for a manual rendezvous).
 set -euo pipefail
 
 exec python main.py \
@@ -14,7 +16,9 @@ exec python main.py \
   --batch-size "${BATCH_PER_POD:-8}" \
   --learning-rate 5e-4 \
   --multi-step-training 1 \
+  --scan-steps auto \
   --checkpointing-block \
   --compute-dtype bfloat16 \
+  --checkpoint-backend orbax \
   --output-path "${OUTPUT:-./pod_run}" \
   "$@"

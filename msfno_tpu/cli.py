@@ -148,6 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="checkpoint save format; orbax writes sharded "
                          "directories in parallel across hosts (resume "
                          "accepts either format)")
+    tr.add_argument("--async-checkpoint", action="store_true",
+                    help="with --checkpoint-backend orbax: snapshot and "
+                         "return immediately, writing the checkpoint in "
+                         "the background (full-size saves are ~10-20 s of "
+                         "blocking I/O otherwise)")
     tr.add_argument("--scan-steps", default="1",
                     help="fuse this many optimizer steps into one lax.scan "
                          "launch (amortizes per-step dispatch; cadence "
@@ -165,6 +170,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     lg = p.add_argument_group("Logging")
     lg.add_argument("--log-file", default=None)
+    lg.add_argument("--profile-dir", default=None,
+                    help="capture a jax/XLA profiler trace of the action "
+                         "into this directory (TensorBoard-loadable; the "
+                         "reference has no profiler integration, SURVEY "
+                         "§5.1)")
     lg.add_argument("--advanced-logging", action="store_true")
     lg.add_argument("--wandb", action="store_true")
     lg.add_argument("--wandb-resume", default=None, metavar="RUN_ID",
@@ -371,6 +381,7 @@ def configs_from_args(args):
             else int(args.scan_steps)
         ),
         checkpoint_backend=args.checkpoint_backend,
+        async_checkpoint=args.async_checkpoint,
         bf16_frozen_params=args.bf16_frozen_params,
         advanced_logging=args.advanced_logging,
     )
@@ -691,6 +702,34 @@ def _force_cpu_backend():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if not args.profile_dir:
+        return _main(args, argv)
+    # --profile-dir: wrap the whole action in a jax/XLA profiler trace
+    # (TensorBoard-loadable; the reference has no profiler at all).
+    # Start/stop failures degrade to a warning — some backends (e.g. the
+    # remote-tunnel platform) may not support tracing.
+    started = False
+    try:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+        started = True
+    except Exception as e:
+        log.warning("profiler trace unavailable: %s", e)
+    try:
+        return _main(args, argv)
+    finally:
+        if started:
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", args.profile_dir)
+            except Exception as e:
+                log.warning("profiler stop_trace failed: %s", e)
+
+
+def _main(args, argv=None) -> int:
     if args.cpu:
         _force_cpu_backend()
     try:

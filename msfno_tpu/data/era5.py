@@ -171,34 +171,50 @@ class NpyBackend:
     # ERA5Dataset.get_batch / PrefetchLoader take this path when present:
     # one call reads all B*S step files into ONE preallocated fp32 buffer
     # (native/loader.cpp), instead of np.load-per-file in Python threads.
-    def _shape(self, kind: str) -> tuple[int, ...]:
+    # Only fp32 stores (the production layout; tools/make_npy_store.py)
+    # qualify — a store with any other dtype falls back to per-file
+    # np.load, preserving its dtype bit-exactly rather than silently
+    # casting through the fp32 buffer.
+    def _shape(self, kind: str) -> tuple[int, ...] | None:
         cache = getattr(self, "_shapes", None)
         if cache is None:
             cache = self._shapes = {}
         if kind not in cache:
             from msfno_tpu.data.native_loader import npy_info
 
-            cache[kind] = npy_info(
+            shape, word_size = npy_info(
                 os.path.join(self.root, f"{kind}_000000.npy")
-            )[0]
+            )
+            first = np.load(os.path.join(self.root, f"{kind}_000000.npy"),
+                            mmap_mode="r")
+            cache[kind] = (
+                shape if first.dtype == np.float32 and word_size == 4
+                else None
+            )
         return cache[kind]
 
     def era5_batch(self, idcs) -> np.ndarray:
+        shape = self._shape("era5")
+        if shape is None:  # non-fp32 store: exact per-file path
+            return np.stack([self.era5(i) for i in idcs])
         from msfno_tpu.data.native_loader import load_npy_batch
 
         return load_npy_batch(
             [os.path.join(self.root, f"era5_{i:06d}.npy") for i in idcs],
-            self._shape("era5"),
+            shape,
         )
 
     def sst_batch(self, idcs) -> np.ndarray | None:
         if not self.has_sst:
             return None
+        shape = self._shape("sst")
+        if shape is None:
+            return np.stack([self.sst(i) for i in idcs])
         from msfno_tpu.data.native_loader import load_npy_batch
 
         return load_npy_batch(
             [os.path.join(self.root, f"sst_{i:06d}.npy") for i in idcs],
-            self._shape("sst"),
+            shape,
         )
 
 

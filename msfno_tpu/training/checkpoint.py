@@ -133,6 +133,37 @@ def load_checkpoint(path: str, opt_state_template=None):
     return params, opt_state, meta
 
 
+# one async checkpointer per process; a new async save waits for the
+# previous one (orbax requirement), and wait_for_async_saves() drains it
+# at trainer finalize/exit so a crash-free run never loses the tail save.
+# meta.json for an async save is deferred until its commit (orbax renames
+# its tmp tree onto `path` at commit — a sidecar written earlier would
+# collide with that rename), tracked in _PENDING_META.
+_ASYNC_CKPTR = None
+_PENDING_META: tuple[str, dict] | None = None
+
+
+def _flush_pending_meta() -> None:
+    global _PENDING_META
+    if _PENDING_META is None:
+        return
+    path, meta = _PENDING_META
+    _PENDING_META = None
+    if jax.process_index() == 0 and os.path.isdir(path):
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async orbax save has committed (and its
+    meta.json sidecar is in place)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    _flush_pending_meta()
+
+
 def save_checkpoint_orbax(
     path: str,
     params: dict,
@@ -141,6 +172,7 @@ def save_checkpoint_orbax(
     epoch: int = 0,
     config_json: str = "{}",
     extra: dict[str, Any] | None = None,
+    async_save: bool = False,
 ) -> str:
     """Orbax-backed checkpoint directory (same payload contract as
     `save_checkpoint`).
@@ -149,6 +181,12 @@ def save_checkpoint_orbax(
     parallel across hosts (each host stores only its addressable shards),
     which the single-file .npz format cannot do.  Metadata lands in
     `meta.json` next to the tree so `peek` stays a one-small-file read.
+
+    async_save=True hands the write to orbax's AsyncCheckpointer: device
+    arrays are snapshotted and training resumes immediately while the disk
+    write proceeds in the background (a full-size fp32 save is ~10-20 s of
+    blocking I/O otherwise).  The next save — or wait_for_async_saves() —
+    drains the in-flight write.
     """
     import orbax.checkpoint as ocp
 
@@ -170,6 +208,16 @@ def save_checkpoint_orbax(
             str(i): leaf
             for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state))
         }
+    if async_save:
+        global _ASYNC_CKPTR, _PENDING_META
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        _ASYNC_CKPTR.wait_until_finished()  # at most one write in flight
+        _flush_pending_meta()
+        _ASYNC_CKPTR.save(path, payload, force=True)
+        # the sidecar lands when THIS save commits (next wait/save drain)
+        _PENDING_META = (path, meta)
+        return path
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     # meta.json: rank 0 only (every host runs this function under SPMD) and

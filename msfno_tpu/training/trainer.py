@@ -603,6 +603,10 @@ class Trainer:
             log.info("training finished early: %s", e)
             if self.checkpoint_dir:
                 self.save_checkpoint(state)
+        finally:
+            # drain any in-flight async orbax write before returning so the
+            # caller never observes a half-committed final checkpoint
+            ckpt_io.wait_for_async_saves()
         return state
 
     def validation(
@@ -702,6 +706,9 @@ class Trainer:
             name += ".npz"  # orbax checkpoints are directories
         path = os.path.join(self.checkpoint_dir, name)
         save_fn = ckpt_io.save_checkpoint_orbax if orbax else ckpt_io.save_checkpoint
+        kwargs = {"async_save": True} if (
+            orbax and self.tcfg.async_checkpoint
+        ) else {}
         save_fn(
             path,
             state.params,
@@ -710,6 +717,7 @@ class Trainer:
             epoch=self.epoch,
             config_json=to_json(self.cfg),
             extra={"film_scale": float(state.film_scale)},
+            **kwargs,
         )
         self.writer.save(f"_epoch{self.epoch}")
         return path

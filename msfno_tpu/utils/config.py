@@ -211,6 +211,12 @@ class TrainConfig:
     # parallel writes across hosts — the TPU-pod production path).  Resume
     # accepts either format regardless of this setting.
     checkpoint_backend: str = "npz"
+    # Async orbax saves: snapshot device arrays and return immediately,
+    # writing to disk in the background (a full-size fp32 save is ~10-20 s
+    # of blocking I/O otherwise).  Only meaningful with
+    # checkpoint_backend="orbax"; the trainer drains in-flight writes at
+    # finalize (checkpoint.wait_for_async_saves).
+    async_checkpoint: bool = False
     # reference --advanced-logging (main.py:1047-1051): extra observability.
     # Per-variable MSE and gamma/beta stats are always logged here (cheap
     # under jit, unlike the reference's eager all_reduces); this flag adds

@@ -988,3 +988,17 @@ def test_save_forecast_sharded(tmp_path):
     )
     assert rc == 0
     assert (tmp_path / "forecast_store" / "header.json").exists()
+
+
+def test_profile_dir_flag(tmp_path):
+    """--profile-dir captures a TensorBoard-loadable trace around the
+    action (no reference analogue, SURVEY §5.1)."""
+    prof = tmp_path / "trace"
+    rc = main(TINY + ["--train", "--mesh", "none", "--num-iterations", "1",
+                      "--validation-interval", "0",
+                      "--profile-dir", str(prof),
+                      "--output-path", str(tmp_path)])
+    assert rc == 0
+    # jax writes plugins/profile/<ts>/*.xplane.pb under the trace dir
+    found = list(prof.rglob("*.xplane.pb"))
+    assert found, f"no trace files under {prof}"

@@ -715,3 +715,26 @@ class TestBatchSizeProbeErrors:
 
         monkeypatch.setattr(tr, "_probe_batch_size", probe)
         assert tr.test_batch_size((1, 2, 4, 8)) == 2
+
+
+def test_async_orbax_checkpoint(tmp_path):
+    """async_checkpoint=True: the orbax save returns immediately; the tree
+    + meta.json are committed after wait_for_async_saves (which
+    Trainer.train calls at finalize), and the checkpoint loads."""
+    import os
+
+    from msfno_tpu.training import checkpoint as ckpt_io
+
+    tcfg = TrainConfig(batch_size=1, training_epochs=1,
+                       validation_interval=0, checkpoint_backend="orbax",
+                       async_checkpoint=True)
+    tr = Trainer(small_cfg(), tcfg, checkpoint_dir=str(tmp_path))
+    state = tr.train(tr.init_state(), num_batches=2)  # finalize drains
+    cps = [f for f in os.listdir(tmp_path)
+           if f.startswith("checkpoint_")
+           and os.path.isdir(os.path.join(tmp_path, f))]
+    assert cps
+    path = os.path.join(tmp_path, sorted(cps)[-1])
+    assert os.path.exists(os.path.join(path, "meta.json"))
+    params, _, meta = ckpt_io.load_checkpoint(path)
+    assert meta["step"] == 2 and "encoder" in params
