@@ -594,8 +594,15 @@ class PrefetchLoader:
         finally:
             stop.set()
             # workers blocked in put_or_stop notice stop within its timeout;
-            # join then drain so no Batch stays pinned in the dead queue
-            for t in threads:
-                t.join(timeout=5.0)
-            while not q.empty():
-                q.get_nowait()
+            # join then drain so no Batch stays pinned in the dead queue.
+            # When an abandoned generator is finalized at interpreter exit,
+            # threading/queue module internals may already be torn down —
+            # swallow those teardown-only errors instead of printing an
+            # "Exception ignored in generator" traceback.
+            try:
+                for t in threads:
+                    t.join(timeout=5.0)
+                while not q.empty():
+                    q.get_nowait()
+            except Exception:
+                pass

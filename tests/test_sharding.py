@@ -296,3 +296,15 @@ def test_trainer_mesh_with_scan_steps():
     tr = Trainer(cfg, tcfg, mesh=mesh)
     state = tr.train(tr.init_state(), num_batches=4)
     assert int(state.step) == 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_test_performance_under_mesh():
+    """test_model_speed runs the forward under the mesh (the
+    --test-performance CLI path with --mesh)."""
+    mesh = make_mesh(8, shape=(2, 2, 2))
+    tr = Trainer(small_cfg(film=True), TrainConfig(batch_size=2,
+                                                   film_scale_start=1.0),
+                 mesh=mesh)
+    sec = tr.test_model_speed(tr.init_state(), iters=2)
+    assert sec > 0
