@@ -118,9 +118,31 @@ def even_pspec(shape: tuple[int, ...], spec: P, mesh: Mesh) -> P:
 
 
 def even_put(x, mesh: Mesh, spec: P):
-    """device_put with the divisibility-safe subset of `spec` (see
-    even_pspec)."""
+    """Place a host batch on the mesh with the divisibility-safe subset of
+    `spec` (see even_pspec).
+
+    Single-process: a plain device_put of the global array.  Multi-process
+    (a real pod, every host running this same code): `x` is this process's
+    LOCAL portion of the global batch (the PrefetchLoader feeds each host
+    a disjoint shard — reference DistributedSampler semantics, so
+    batch_size is per-host exactly like the reference's per-GPU batch) and
+    the global jax.Array is assembled via
+    make_array_from_process_local_data — device_put cannot address other
+    hosts' devices."""
     x = np.asarray(x)
+    if jax.process_count() > 1:
+        sharding = NamedSharding(mesh, even_pspec(
+            # global shape: the local block scaled by how many ways the
+            # sharding splits each dim across processes is inferred by
+            # make_array_from_process_local_data when global_shape is
+            # omitted; the spec itself must be divisibility-checked
+            # against the GLOBAL shape, which equals local shape except
+            # on process-spanning axes — even_pspec on the local shape is
+            # conservative (a dim divisible locally is divisible globally
+            # when every host holds an equal block)
+            x.shape, spec, mesh
+        ))
+        return jax.make_array_from_process_local_data(sharding, x)
     return jax.device_put(
         x, NamedSharding(mesh, even_pspec(x.shape, spec, mesh))
     )

@@ -19,6 +19,20 @@ from msfno_tpu.parallel.mesh import io_shardings, param_shardings
 from msfno_tpu.training.trainer import Trainer, TrainState
 
 
+def _put(v, sharding):
+    """device_put that also works multi-host: device_put cannot address
+    other processes' devices, so under process_count > 1 the global array
+    is assembled from this host's full copy via make_array_from_callback
+    (every host holds the same host value — same-seed init / checkpoint
+    load — and contributes its addressable shards)."""
+    if jax.process_count() > 1:
+        arr = np.asarray(v)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(v, sharding)
+
+
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a TrainState on the mesh with canonical param shardings.
 
@@ -36,14 +50,14 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     def put_params(tree):
         shardings = param_shardings(mesh, tree)
         return jax.tree_util.tree_map(
-            lambda v, s: jax.device_put(v, s), tree, shardings
+            lambda v, s: _put(v, s), tree, shardings
         )
 
     def put_opt(node):
         if isinstance(node, dict):
             if set(traverse_util.flatten_dict(node).keys()) == tr_keys:
                 return jax.tree_util.tree_map(
-                    lambda v, s: jax.device_put(v, s), node, tr_shardings
+                    lambda v, s: _put(v, s), node, tr_shardings
                 )
             return {k: put_opt(v) for k, v in node.items()}
         if hasattr(node, "_fields"):  # optax NamedTuple states
@@ -54,14 +68,14 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
             return [put_opt(x) for x in node]
         if node is None:
             return None
-        return jax.device_put(node, rep)
+        return _put(node, rep)
 
     return TrainState(
         trainable=put_params(state.trainable),
         frozen=put_params(state.frozen),
         opt_state=put_opt(state.opt_state),
-        step=jax.device_put(state.step, rep),
-        film_scale=jax.device_put(state.film_scale, rep),
+        step=_put(state.step, rep),
+        film_scale=_put(state.film_scale, rep),
     )
 
 

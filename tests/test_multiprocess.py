@@ -1,0 +1,66 @@
+"""REAL two-process distributed training test (CPU backend, gRPC
+coordinator) — the multi-HOST contract the CLI mesh claims, beyond the
+in-process 8-device simulation the rest of the suite uses.
+
+Spawns two python processes (tests/multiproc_worker.py) that each
+initialize jax.distributed against a shared coordinator, hold 4 local CPU
+devices (8 global), build the same (2, 2, 2) mesh, feed DIFFERENT
+per-host batches, and run one sharded filmed train step.  Both must exit
+0 and print the SAME loss: under SPMD the loss is a global reduction over
+both hosts' data, so agreement proves the cross-process collectives and
+the multi-host placement paths (make_array_from_process_local_data /
+make_array_from_callback) actually ran.
+
+The reference has no multi-node test of any kind (SURVEY §4).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_train_step():
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = dict(os.environ)
+    # fresh processes must not inherit this test session's 8-device flag
+    # (each worker configures 4 CPU devices itself) nor a pinned platform
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MPLOSS ")]
+        assert lines, f"no MPLOSS line in: {out}"
+        losses.append(float(lines[0].split()[1]))
+    # the loss is a GLOBAL reduction over both hosts' (different) data:
+    # agreement across processes proves the collectives spanned them
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses
