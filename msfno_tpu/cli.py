@@ -698,6 +698,11 @@ def _force_cpu_backend():
     # past this run for in-process callers (tests), and the axon
     # sitecustomize overrides the env var anyway
     jax.config.update("jax_platforms", "cpu")
+    n = os.environ.get("MSFNO_CPU_DEVICES")
+    if n:
+        # virtual CPU devices for pod simulation (the two-process CLI test
+        # gives each process 4, making an 8-device global mesh)
+        jax.config.update("jax_num_cpu_devices", int(n))
 
 
 def main(argv=None) -> int:

@@ -181,6 +181,10 @@ def save_checkpoint_orbax(
     parallel across hosts (each host stores only its addressable shards),
     which the single-file .npz format cannot do.  Metadata lands in
     `meta.json` next to the tree so `peek` stays a one-small-file read.
+    Multi-host REQUIRES `path` on storage shared by every host (NFS/GCS):
+    orbax's commit barrier watches the other hosts' markers under the same
+    directory — per-host paths deadlock the save (verified by
+    tests/test_multiprocess.py against a shared tmp dir).
 
     async_save=True hands the write to orbax's AsyncCheckpointer: device
     arrays are snapshotted and training resumes immediately while the disk

@@ -701,6 +701,14 @@ class Trainer:
         import os
 
         orbax = self.tcfg.checkpoint_backend == "orbax"
+        if not orbax and jax.process_count() > 1:
+            # npz gathers the full tree to one host's numpy — impossible
+            # for shards on other processes' devices; orbax saves each
+            # host's addressable shards in place (checkpoint.py)
+            raise ValueError(
+                "npz checkpoints cannot gather remote shards on a "
+                "multi-host mesh; use --checkpoint-backend orbax"
+            )
         name = f"checkpoint_iter={self.iter}_epoch={self.epoch}{tag}"
         if not orbax:
             name += ".npz"  # orbax checkpoints are directories

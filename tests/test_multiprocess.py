@@ -64,3 +64,51 @@ def test_two_process_distributed_train_step():
     # the loss is a GLOBAL reduction over both hosts' (different) data:
     # agreement across processes proves the collectives spanned them
     assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses
+
+
+def test_two_process_cli_train(tmp_path):
+    """The ACTUAL CLI, two processes: `main.py --train --mesh 2,2,2
+    --coordinator-address ... --num-processes 2 --process-id i` on 4+4
+    virtual CPU devices — the pod launch story (examples/launch_pod.sh)
+    end-to-end, with orbax checkpoints (npz raises actionably on
+    multi-host — trainer.save_checkpoint).
+
+    --output-path must be SHARED across hosts (a real pod's NFS/GCS
+    mount; tmp_path here): orbax's multi-process commit barrier watches
+    the other hosts' markers under the same directory — per-host output
+    dirs deadlock the save (observed, 2026-08-20)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MSFNO_CPU_DEVICES"] = "4"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tiny = ["--img-size", "16", "32", "--scale-factor", "2", "--in-chans",
+            "3", "--out-chans", "3", "--embed-dim", "8", "--num-layers",
+            "2", "--spectral-layers", "1", "--synthetic-data"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "main.py"), *tiny,
+             "--cpu", "--train", "--mesh", "2,2,2",
+             "--coordinator-address", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--num-iterations", "2", "--validation-interval", "0",
+             "--checkpoint-backend", "orbax",
+             "--output-path", str(tmp_path / "shared")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=repo,
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err[-4000:]}"
+    shared = tmp_path / "shared"
+    cps = [d for d in os.listdir(shared) if d.startswith("checkpoint_")]
+    assert cps, os.listdir(shared)
+    assert os.path.exists(shared / sorted(cps)[-1] / "meta.json")
