@@ -179,7 +179,12 @@ def evaluate_checkpoints(
             cat(fcs), cat(tars), climatology, cat(fcs_n), cat(tars_n),
             times=cat(tims),
         )
-        log.info("%s: mean skill %.4f", name, float(np.mean(reports[name].skill)))
+        log.info(
+            "%s: mean skill %.4f, mean ACC %.4f",
+            name,
+            float(np.mean(reports[name].skill)),
+            float(np.mean(reports[name].acc)),
+        )
         if save_path:
             os.makedirs(save_path, exist_ok=True)
             reports[name].save(os.path.join(save_path, name))
@@ -200,7 +205,9 @@ def plot_skill(reports: dict[str, SkillReport], save_path: str,
     except Exception:  # pragma: no cover
         log.warning("matplotlib unavailable; skipping plots")
         return
-    for metric in ("skill", "mse_model"):
+    for metric in ("skill", "mse_model", "acc"):
+        if any(getattr(rep, metric, None) is None for rep in reports.values()):
+            continue
         fig, ax = plt.subplots(figsize=(8, 4))
         for name, rep in reports.items():
             vals = getattr(rep, metric)

@@ -18,12 +18,18 @@ class SkillReport:
     mse_model_norm: np.ndarray  # (S, C) in normalized space
     mse_climatology: np.ndarray  # (S, C)
     skill: np.ndarray  # (S, C) = 1 - mse_model / mse_climatology
+    # anomaly correlation coefficient vs the same climatology (S, C) —
+    # the standard deterministic-verification metric (WMO/ECMWF practice);
+    # the reference computes MSE/skill only, this is additional
+    acc: np.ndarray | None = None
 
     def save(self, path_prefix: str):
         np.save(path_prefix + "_mse_model.npy", self.mse_model)
         np.save(path_prefix + "_mse_model_norm.npy", self.mse_model_norm)
         np.save(path_prefix + "_mse_climatology.npy", self.mse_climatology)
         np.save(path_prefix + "_skill.npy", self.skill)
+        if self.acc is not None:
+            np.save(path_prefix + "_acc.npy", self.acc)
 
 
 def lat_weights(h: int) -> np.ndarray:
@@ -37,6 +43,24 @@ def weighted_mse(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
     """(B, H, W, C) -> per-variable (C,) cos-lat-weighted MSE."""
     w = lat_weights(pred.shape[-3])
     return np.mean(((pred - target) ** 2) * w, axis=(0, 1, 2))
+
+
+def weighted_acc(pred: np.ndarray, target: np.ndarray,
+                 clim: np.ndarray) -> np.ndarray:
+    """(B, H, W, C) -> per-variable (C,) cos-lat-weighted anomaly
+    correlation coefficient:
+      ACC = <f' t'> / sqrt(<f'^2> <t'^2>),  f' = f - clim, t' = t - clim,
+    with <.> the area-weighted mean over batch and grid (ECMWF
+    deterministic-verification definition)."""
+    w = lat_weights(pred.shape[-3])
+    fp = pred - clim
+    tp = target - clim
+    num = np.sum(fp * tp * w, axis=(0, 1, 2))
+    den = np.sqrt(
+        np.sum(fp * fp * w, axis=(0, 1, 2))
+        * np.sum(tp * tp * w, axis=(0, 1, 2))
+    )
+    return num / np.maximum(den, 1e-12)
 
 
 def indexed_climatology(
@@ -110,7 +134,10 @@ def evaluate_rollout(
     else:
         mse_norm = np.full_like(mse_model, np.nan)
     skill = 1.0 - mse_model / np.maximum(mse_clim, 1e-12)
-    return SkillReport(mse_model, mse_norm, mse_clim, skill)
+    acc = np.stack(
+        [weighted_acc(forecasts[k], targets[k], clim[k]) for k in range(s)]
+    )
+    return SkillReport(mse_model, mse_norm, mse_clim, skill, acc=acc)
 
 
 def hourly_climatology(fields: np.ndarray, day_of_year: np.ndarray,

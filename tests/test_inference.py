@@ -138,3 +138,63 @@ class TestForecastWriter:
         assert meta["times"] == [2020010100, 2020010106]
         assert data.shape == (3, 2, 4, 8, 2)
         np.testing.assert_array_equal(data[:, 0], a)
+
+
+class TestACC:
+    """Anomaly correlation coefficient (additional to the reference's
+    MSE/skill; ECMWF deterministic-verification definition)."""
+
+    def test_perfect_forecast_acc_one(self):
+        import numpy as np
+
+        from msfno_tpu.inference.evaluate import evaluate_rollout
+
+        rng = np.random.default_rng(0)
+        tar = rng.standard_normal((2, 1, 8, 16, 3)).astype(np.float32)
+        clim = rng.standard_normal((8, 16, 3)).astype(np.float32)
+        rep = evaluate_rollout(tar.copy(), tar, clim)
+        np.testing.assert_allclose(rep.acc, 1.0, atol=1e-5)
+
+    def test_climatology_forecast_acc_zero_mean(self):
+        """Forecasting pure climatology gives zero anomaly -> ACC 0/den
+        ~ 0; an anti-correlated forecast gives ACC ~ -1."""
+        import numpy as np
+
+        from msfno_tpu.inference.evaluate import evaluate_rollout, weighted_acc
+
+        rng = np.random.default_rng(1)
+        clim = rng.standard_normal((8, 16, 3)).astype(np.float32)
+        tar = clim + rng.standard_normal((1, 1, 8, 16, 3)).astype(np.float32)
+        anti = clim - (tar - clim)  # mirrored anomaly
+        acc = weighted_acc(anti[0], tar[0], clim)
+        np.testing.assert_allclose(acc, -1.0, atol=1e-5)
+
+    def test_matches_numpy_reference(self):
+        """ACC against a hand-rolled unweighted computation on a uniform
+        1-row grid (lat weights collapse to a constant)."""
+        import numpy as np
+
+        from msfno_tpu.inference.evaluate import weighted_acc
+
+        rng = np.random.default_rng(2)
+        pred = rng.standard_normal((2, 1, 16, 3)).astype(np.float32)
+        tar = rng.standard_normal((2, 1, 16, 3)).astype(np.float32)
+        clim = rng.standard_normal((1, 16, 3)).astype(np.float32)
+        got = weighted_acc(pred, tar, np.broadcast_to(clim, pred.shape))
+        fp = (pred - clim).reshape(-1, 3)
+        tp = (tar - clim).reshape(-1, 3)
+        want = (fp * tp).sum(0) / np.sqrt(
+            (fp**2).sum(0) * (tp**2).sum(0)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_saved_artifact(self, tmp_path):
+        import numpy as np
+
+        from msfno_tpu.inference.evaluate import evaluate_rollout
+
+        rng = np.random.default_rng(3)
+        tar = rng.standard_normal((1, 1, 8, 16, 3)).astype(np.float32)
+        rep = evaluate_rollout(tar * 0.9, tar, tar.mean(axis=(0, 1)))
+        rep.save(str(tmp_path / "r"))
+        assert (tmp_path / "r_acc.npy").exists()
