@@ -57,18 +57,39 @@ def place_rollout_inputs(mesh, params, x0=None, sst_seq=None):
     the state is batch/lat-sharded where shapes divide, SST replicated.
     Single source for rollout / scan_rollout / eval (sharded inference has
     no reference analogue; the rollout it replaces is single-GPU,
-    model.py:289-372)."""
+    model.py:289-372).
+
+    Multi-host: host-resident leaves (checkpoint loads) assemble globally
+    via sharded_train._put (make_array_from_callback); leaves that are
+    already global non-addressable jax.Arrays (a live sharded TrainState)
+    pass through untouched — the jitted program reshards per its
+    constraints."""
     from msfno_tpu.parallel.mesh import batch_pspec, even_put, param_shardings
+    from msfno_tpu.parallel.sharded_train import _put
+
+    def place_leaf(v, s):
+        if (
+            isinstance(v, jax.Array)
+            and not v.is_fully_addressable
+        ):
+            return v  # already a global array on the mesh
+        return _put(v, s)
 
     params = jax.tree_util.tree_map(
-        lambda v, s: jax.device_put(v, s), params, param_shardings(mesh, params)
+        place_leaf, params, param_shardings(mesh, params)
     )
     if x0 is not None:
         x0 = even_put(x0, mesh, batch_pspec())
     if sst_seq is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-        sst_seq = jax.device_put(np.asarray(sst_seq), NamedSharding(mesh, P()))
+        # batch-sharded like x0 (multi-host: per-host SST shards assemble
+        # to the same global batch as the per-host era5 shards; a
+        # replicated placement would leave the film batch at the LOCAL
+        # size while x0 assembles globally)
+        sst_seq = even_put(
+            np.asarray(sst_seq), mesh, P(None, "data", None, None, None)
+        )
     return params, x0, sst_seq
 
 
@@ -138,6 +159,15 @@ def rollout(
         out = normalizer(x, reverse=True) if cfg.denormalize else x
         if collect is not None:
             out = out[..., jnp.asarray(collect)]
+        if mesh is not None:
+            # replicate before the host fetch: np.asarray on an output
+            # sharded across OTHER hosts' devices fails on a pod; the
+            # all_gather this lowers to is the write path's cost anyway
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            out = jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, P())
+            )
         return out
 
     # wrap in lambdas: the (ndarray-holding) normalizer dataclasses are not
@@ -221,6 +251,15 @@ def scan_rollout(
                 else:
                     nxt = model.apply({"params": params}, state)
                 out = nxt if collect is None else nxt[..., collect]
+                if mesh is not None:
+                    # replicate the collected output so the caller's
+                    # np.asarray works on every host of a pod (the carry
+                    # stays sharded — only the emitted field gathers)
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    out = jax.lax.with_sharding_constraint(
+                        out, NamedSharding(mesh, P())
+                    )
                 return nxt, out
 
             _, outs = jax.lax.scan(body, normalizer(x0), xs, length=steps)

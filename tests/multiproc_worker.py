@@ -72,6 +72,22 @@ def main() -> int:
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
     print(f"MPLOSS {loss:.8f}", flush=True)
+
+    # sharded INFERENCE across the two processes: the live (sharded,
+    # partly non-addressable) params feed scan_rollout directly; the
+    # emitted field is replicated so every host can fetch it
+    import jax.numpy as jnp
+
+    from msfno_tpu.inference.rollout import scan_rollout
+
+    # per-host era5 AND sst shards assemble to the same global batch
+    outs = scan_rollout(
+        trainer.model, state.params, b.era5[0], 1,
+        sst_seq=jnp.asarray(b.sst[1:2]), scale=1.0, mesh=mesh,
+    )
+    arr = np.asarray(outs)
+    assert np.isfinite(arr).all()
+    print(f"MPROLL {float(arr.mean()):.8f}", flush=True)
     return 0
 
 

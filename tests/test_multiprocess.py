@@ -56,14 +56,20 @@ def test_two_process_distributed_train_step():
             raise
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
-    losses = []
+    losses, rolls = [], []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("MPLOSS ")]
         assert lines, f"no MPLOSS line in: {out}"
         losses.append(float(lines[0].split()[1]))
+        rlines = [l for l in out.splitlines() if l.startswith("MPROLL ")]
+        assert rlines, f"no MPROLL line in: {out}"
+        rolls.append(float(rlines[0].split()[1]))
     # the loss is a GLOBAL reduction over both hosts' (different) data:
     # agreement across processes proves the collectives spanned them
     assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses
+    # the sharded-inference output is replicated to every host and built
+    # from the globally assembled batch: both hosts must see the same field
+    assert rolls[0] == pytest.approx(rolls[1], rel=1e-6), rolls
 
 
 def test_two_process_cli_train(tmp_path):
