@@ -177,7 +177,20 @@ def create_writer(
 ) -> "LocalLog":
     """Writer factory (reference set_logger, train.py:75-144): a LocalLog
     that mirrors into a wandb run when requested and available.  wandb run
-    resume via resume_id uses resume="must" (train.py:106-114)."""
+    resume via resume_id uses resume="must" (train.py:106-114).
+
+    Multi-host: non-zero ranks keep in-memory records but neither save to
+    disk nor open wandb — rank-0-only logging is the reference's contract
+    (train.py:75-144) and two ranks appending the same .npy on shared
+    storage can interleave-corrupt it."""
+    try:
+        import jax._src.xla_bridge as xb
+
+        rank0 = (not xb._backends) or __import__("jax").process_index() == 0
+    except Exception:
+        rank0 = True
+    if not rank0:
+        save_dir, use_wandb = None, False
     mirror = None
     if use_wandb:
         try:
