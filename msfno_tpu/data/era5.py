@@ -597,12 +597,15 @@ class PrefetchLoader:
             # join then drain so no Batch stays pinned in the dead queue.
             # When an abandoned generator is finalized at interpreter exit,
             # threading/queue module internals may already be torn down —
-            # swallow those teardown-only errors instead of printing an
-            # "Exception ignored in generator" traceback.
+            # swallow errors ONLY in that teardown case (sys.is_finalizing);
+            # a normal mid-run close re-raises real failures.
             try:
                 for t in threads:
                     t.join(timeout=5.0)
                 while not q.empty():
                     q.get_nowait()
             except Exception:
-                pass
+                import sys
+
+                if not sys.is_finalizing():
+                    raise

@@ -9,6 +9,7 @@ computation over the Nino-3.4 box vs a day-of-year climatology
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 
@@ -25,7 +26,13 @@ def coarsen(field: np.ndarray, factor: int) -> np.ndarray:
     h2, w2 = h // factor, w // factor
     x = field[..., : h2 * factor, : w2 * factor]
     x = x.reshape(*x.shape[:-2], h2, factor, w2, factor)
-    with np.errstate(invalid="ignore"):
+    # all-NaN cells (land) are the expected output NaNs; silence numpy's
+    # "Mean of empty slice" RuntimeWarning for them (warnings-module based,
+    # so errstate alone does not cover it)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Mean of empty slice", category=RuntimeWarning
+        )
         return np.nanmean(x, axis=(-3, -1))
 
 

@@ -117,6 +117,21 @@ def even_pspec(shape: tuple[int, ...], spec: P, mesh: Mesh) -> P:
     return P(*out)
 
 
+def _addressable_positions(mesh: Mesh, axis: str) -> int:
+    """How many of the `axis` positions in the mesh grid contain at least one
+    device addressable by THIS process.  make_array_from_process_local_data
+    treats the local block as covering exactly those positions, so the
+    global dim of a sharded array is local_dim * axis_size / this."""
+    ax = mesh.axis_names.index(axis)
+    dev = np.moveaxis(mesh.devices, ax, 0)
+    me = jax.process_index()
+    return sum(
+        1
+        for i in range(dev.shape[0])
+        if any(d.process_index == me for d in dev[i].flat)
+    )
+
+
 def even_put(x, mesh: Mesh, spec: P):
     """Place a host batch on the mesh with the divisibility-safe subset of
     `spec` (see even_pspec).
@@ -128,21 +143,47 @@ def even_put(x, mesh: Mesh, spec: P):
     batch_size is per-host exactly like the reference's per-GPU batch) and
     the global jax.Array is assembled via
     make_array_from_process_local_data — device_put cannot address other
-    hosts' devices."""
+    hosts' devices.
+
+    Divisibility is checked against the TRUE GLOBAL shape (local dim scaled
+    by the process span of each sharded mesh axis).  A process-spanning
+    axis is never silently demoted to replicated: each host holds a
+    DISTINCT loader shard, so a "replicated" assembly would produce a
+    global array whose buffers disagree across hosts — that case raises
+    instead.  Demotion stays allowed only for axes fully addressable by
+    every process (same semantics as the single-process branch)."""
     x = np.asarray(x)
     if jax.process_count() > 1:
-        sharding = NamedSharding(mesh, even_pspec(
-            # global shape: the local block scaled by how many ways the
-            # sharding splits each dim across processes is inferred by
-            # make_array_from_process_local_data when global_shape is
-            # omitted; the spec itself must be divisibility-checked
-            # against the GLOBAL shape, which equals local shape except
-            # on process-spanning axes — even_pspec on the local shape is
-            # conservative (a dim divisible locally is divisible globally
-            # when every host holds an equal block)
-            x.shape, spec, mesh
-        ))
-        return jax.make_array_from_process_local_data(sharding, x)
+        names = list(spec) + [None] * (x.ndim - len(spec))
+        out_spec, global_shape = [], []
+        for dim, name in zip(x.shape, names):
+            if name is None:
+                out_spec.append(None)
+                global_shape.append(dim)
+                continue
+            axes = name if isinstance(name, tuple) else (name,)
+            size = math.prod(mesh.shape[a] for a in axes)
+            span = math.prod(
+                mesh.shape[a] // _addressable_positions(mesh, a) for a in axes
+            )
+            gdim = dim * span
+            if gdim % size != 0:
+                if span > 1:
+                    raise ValueError(
+                        f"even_put: global dim {gdim} (local {dim} x process "
+                        f"span {span}) is not divisible by mesh axes {axes} "
+                        f"(size {size}); each host feeds a distinct loader "
+                        f"shard, so replicated placement would be silently "
+                        f"inconsistent across hosts — pad the per-host batch "
+                        f"or choose a mesh whose {axes} size divides it"
+                    )
+                name = None  # not process-spanning: safe local demotion
+            out_spec.append(name)
+            global_shape.append(gdim)
+        sharding = NamedSharding(mesh, P(*out_spec))
+        return jax.make_array_from_process_local_data(
+            sharding, x, tuple(global_shape)
+        )
     return jax.device_put(
         x, NamedSharding(mesh, even_pspec(x.shape, spec, mesh))
     )

@@ -84,9 +84,17 @@ def save_checkpoint(
 
 def is_orbax_dir(path: str) -> bool:
     """An orbax checkpoint saved by `save_checkpoint_orbax`: a directory
-    carrying our meta.json sidecar."""
-    return os.path.isdir(path) and os.path.exists(
-        os.path.join(path, "meta.json")
+    carrying our meta.json sidecar — or, crash-recovery case, a committed
+    orbax tree whose sidecar never landed (async save killed between orbax
+    commit and the meta drain; the meta is then recovered from the
+    payload's own meta_json leaf, see peek_orbax)."""
+    if not os.path.isdir(path):
+        return False
+    if os.path.exists(os.path.join(path, "meta.json")):
+        return True
+    return any(
+        os.path.exists(os.path.join(path, marker))
+        for marker in ("_METADATA", "manifest.ocdbt", "_CHECKPOINT_METADATA")
     )
 
 
@@ -204,7 +212,15 @@ def save_checkpoint_orbax(
     }
     if extra:
         meta.update(extra)
-    payload = {"params": params}
+    # commit-atomic copy of the metadata: lives inside the orbax tree, so a
+    # crash between orbax commit and the (async-deferred) sidecar write
+    # cannot orphan an otherwise-valid checkpoint — peek_orbax recovers it
+    payload = {
+        "params": params,
+        "meta_json": np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        ).copy(),
+    }
     if opt_state is not None:
         # store leaves positionally (optax state treedefs contain
         # non-serializable nodes); the template restores the structure
@@ -236,8 +252,32 @@ def save_checkpoint_orbax(
 
 
 def peek_orbax(path: str) -> dict[str, Any]:
-    with open(os.path.join(path, "meta.json")) as f:
-        return json.load(f)
+    """meta.json sidecar read; falls back to the commit-atomic meta_json
+    leaf stored INSIDE the orbax payload when the sidecar is missing (a
+    hard crash after orbax commit but before the async-drain sidecar write
+    — the checkpoint is fully valid, only the cheap-peek file is gone).
+    The recovered sidecar is re-materialized so later peeks stay cheap."""
+    sidecar = os.path.join(path, "meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    blob = payload.get("meta_json")
+    if blob is None:
+        raise FileNotFoundError(
+            f"{path}: no meta.json sidecar and no meta_json leaf in the "
+            f"orbax payload — not a checkpoint saved by this framework"
+        )
+    meta = json.loads(bytes(np.asarray(blob, dtype=np.uint8)).decode())
+    if jax.process_index() == 0:
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, sidecar)
+    return meta
 
 
 def load_checkpoint_orbax(path: str, opt_state_template=None):

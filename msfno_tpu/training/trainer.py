@@ -45,10 +45,18 @@ def _is_oom_error(e: Exception) -> bool:
     RESOURCE_EXHAUSTED / allocator out-of-memory text).  Used by
     test_batch_size so only memory exhaustion shrinks the answer."""
     msg = str(e)
+    low = msg.lower()
+    # "exceeds the maximum" alone also appears in non-memory XLA errors
+    # ("exceeds the maximum supported dimension size"); require memory/HBM
+    # wording alongside it so shape bugs raise instead of shrinking the
+    # reported max batch
     return (
         "RESOURCE_EXHAUSTED" in msg
-        or "out of memory" in msg.lower()
-        or "exceeds the maximum" in msg.lower()
+        or "out of memory" in low
+        or (
+            "exceeds the maximum" in low
+            and ("memory" in low or "hbm" in low or "allocat" in low)
+        )
     )
 
 

@@ -184,9 +184,13 @@ def create_writer(
     (train.py:75-144) and two ranks appending the same .npy on shared
     storage can interleave-corrupt it."""
     try:
-        import jax._src.xla_bridge as xb
+        import jax
 
-        rank0 = (not xb._backends) or __import__("jax").process_index() == 0
+        # public signal only: process_index() initializes the backend on
+        # first call, which is fine for every create_writer call site (the
+        # mesh is resolved before any writer is created); == 0 also covers
+        # the single-process case where distributed init never ran
+        rank0 = jax.process_index() == 0
     except Exception:
         rank0 = True
     if not rank0:
