@@ -251,6 +251,30 @@ def save_checkpoint_orbax(
     return path
 
 
+def _restore_orbax_numpy(path: str) -> dict:
+    """Restore an orbax tree with every leaf as a HOST numpy array.
+
+    Restoring without explicit restore_args asks orbax to rebuild
+    jax.Arrays from the checkpoint's recorded shardings — which fails
+    outright for checkpoints written by the ASYNC path (the snapshot
+    records concrete device shardings that a fresh process/backend cannot
+    resolve: "sharding passed to deserialization should be specified").
+    A checkpoint loader must not depend on the saving process's device
+    topology; callers re-place arrays on their own mesh afterwards."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        md = ckptr.metadata(path)
+        tree = getattr(md, "item_metadata", md)
+        tree = getattr(tree, "tree", tree)
+        rargs = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            tree,
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
+        return ckptr.restore(path, restore_args=rargs)
+
+
 def peek_orbax(path: str) -> dict[str, Any]:
     """meta.json sidecar read; falls back to the commit-atomic meta_json
     leaf stored INSIDE the orbax payload when the sidecar is missing (a
@@ -261,10 +285,7 @@ def peek_orbax(path: str) -> dict[str, Any]:
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             return json.load(f)
-    import orbax.checkpoint as ocp
-
-    with ocp.PyTreeCheckpointer() as ckptr:
-        payload = ckptr.restore(path)
+    payload = _restore_orbax_numpy(path)
     blob = payload.get("meta_json")
     if blob is None:
         raise FileNotFoundError(
@@ -281,13 +302,21 @@ def peek_orbax(path: str) -> dict[str, Any]:
 
 
 def load_checkpoint_orbax(path: str, opt_state_template=None):
-    """Returns (params, opt_state|None, meta) from an orbax directory."""
-    import orbax.checkpoint as ocp
-
+    """Returns (params, opt_state|None, meta) from an orbax directory.
+    Leaves come back as host numpy arrays regardless of the topology that
+    saved them (see _restore_orbax_numpy) — required for async-path saves
+    and for restoring a pod checkpoint on a differently-shaped mesh."""
     path = os.path.abspath(path)
-    meta = peek_orbax(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        payload = ckptr.restore(path)
+    payload = _restore_orbax_numpy(path)
+    sidecar = os.path.join(path, "meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+    else:
+        blob = payload.get("meta_json")
+        if blob is None:
+            raise FileNotFoundError(f"{path}: no meta.json and no meta_json leaf")
+        meta = json.loads(bytes(np.asarray(blob, dtype=np.uint8)).decode())
     params = payload["params"]
     opt_state = None
     if opt_state_template is not None and "opt_leaves" in payload:
