@@ -66,11 +66,17 @@ def box3(v: Array) -> Array:
     # data operand to bf16); bf16 fast-mode inputs use the one-pass MXU path
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
+    # Accumulation happens in f32 inside the MXU either way; asking for an
+    # f32 OUTPUT on the bf16 path materialized two f32[H,W,F] intermediates
+    # per box3 that were immediately rounded back to bf16 (round-5 trace:
+    # ~0.9 ms/step of convert+write traffic across the 7 GCN layers).
+    # Emitting bf16 directly is the same rounding with none of the traffic.
+    out_dt = jnp.float32 if dt == jnp.float32 else dt
     th, tw = _band_matrices(v.shape[-3], v.shape[-2])
     v = jnp.einsum("gh,...hwf->...gwf", jnp.asarray(th), v,
-                   precision=prec, preferred_element_type=jnp.float32)
+                   precision=prec, preferred_element_type=out_dt)
     return jnp.einsum("wv,...hwf->...hvf", jnp.asarray(tw), v,
-                      precision=prec, preferred_element_type=jnp.float32
+                      precision=prec, preferred_element_type=out_dt
                       ).astype(dt)
 
 

@@ -152,6 +152,7 @@ class FourierNeuralOperatorBlock(nn.Module):
         beta: Array | None = None,
         scale=1.0,
         deterministic: bool = True,
+        norm0_stats=None,
     ) -> Array:
         residual = x
 
@@ -179,11 +180,16 @@ class FourierNeuralOperatorBlock(nn.Module):
         ):
             # fold norm0 into the filter's forward SHT (see
             # SpectralAttentionS2.norm_affine): skips materializing the
-            # normalized field — one full-res read + write saved on block 0
-            a, b = norm0(x, True)
+            # normalized field — one full-res read + write saved on block 0.
+            # norm0_stats (encoder-kernel-accumulated, Mlp.with_stats) skips
+            # even the statistics read of the full-res activation.
+            a, b = norm0(x, True, norm0_stats)
             x = filt(x, norm_affine=(a, b), deterministic=deterministic)
         else:
-            x = norm0(x)
+            if norm0_stats is not None and self.norm_kind == "instance_norm":
+                x = norm0(x, stats=norm0_stats)
+            else:
+                x = norm0(x)
             if self.filter_type == "non-linear":
                 x = filt(x, deterministic=deterministic)
             else:

@@ -105,6 +105,17 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+def _spatial_stats(y: Array) -> tuple[Array, Array, int]:
+    """(ssum, ssq, count) over the spatial axes of (B, ..., C), f32 — the
+    instance-norm statistics contract (see InstanceNorm stats=)."""
+    y32 = y.astype(jnp.float32)
+    axes = tuple(range(1, y.ndim - 1))
+    count = 1
+    for d in y.shape[1:-1]:
+        count *= d
+    return jnp.sum(y32, axis=axes), jnp.sum(y32 * y32, axis=axes), count
+
+
 class Mlp(nn.Module):
     """Dense -> GELU -> Dense over the channel axis.
 
@@ -125,10 +136,21 @@ class Mlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     mxu_dtype: str = "bfloat16"
+    # dtype the fused kernel writes (default: compute dtype) — rounding at
+    # the kernel's output write instead of a downstream convert is value-
+    # identical and halves the full-res write+re-read traffic (round-5
+    # trace); the decoder overrides to fp32 so the model's final
+    # .astype(float32) is a no-op instead of a 303 MB f32->bf16->f32 pass
+    out_dtype: jnp.dtype | None = None
+    # with_stats=True: also return per-sample instance-norm statistics
+    # (ssum, ssq, count) over the spatial axes so the consumer (block-0
+    # norm0) never re-reads the full-res activation; fused in-kernel on the
+    # pallas path, a plain jnp reduction otherwise
+    with_stats: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
-                 pe: Array | None = None) -> Array:
+                 pe: Array | None = None):
         if self.use_pallas and active_mesh() is None:
             # under an active mesh the (B,H,W,C)->(N,C) flatten + pallas_call
             # has no GSPMD partitioning rule — fall back to plain Denses,
@@ -157,11 +179,29 @@ class Mlp(nn.Module):
                 y = nn.Dropout(self.drop_rate, deterministic=False)(y)
                 if pe is not None:
                     y = y + pe.astype(y.dtype)
+                if self.with_stats:
+                    return y, _spatial_stats(y)
                 return y
+            rows = 1
+            for d in x.shape[1:-1]:
+                rows *= d
             y = grid_mlp(
-                x, k1, b1, k2, b2=b2, pe=pe, mxu_dtype=self.mxu_dtype
+                x, k1, b1, k2, b2=b2,
+                # pe read in compute dtype (bf16 halves the 1 GB full-res
+                # positional-embed read on the fast tier; the downstream
+                # rounding to compute dtype happened anyway)
+                pe=None if pe is None else pe.astype(self.dtype),
+                mxu_dtype=self.mxu_dtype,
+                out_dtype=self.out_dtype or self.dtype,
+                stats_rows=rows if self.with_stats else None,
             )
-            return y.astype(self.dtype)
+            if self.with_stats:
+                y, ssum, ssq = y
+                y = y.astype(self.out_dtype or self.dtype)
+                if ssum is None:
+                    return y, _spatial_stats(y)
+                return y, (ssum, ssq, rows)
+            return y.astype(self.out_dtype or self.dtype)
 
         x = x.astype(self.dtype)
         x = nn.Dense(
@@ -186,6 +226,8 @@ class Mlp(nn.Module):
             x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         if pe is not None:
             x = x + pe.astype(x.dtype)
+        if self.with_stats:
+            return x, _spatial_stats(x)
         return x
 
 
@@ -232,6 +274,7 @@ class BigSkipMlp(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     mxu_dtype: str = "bfloat16"
+    out_dtype: jnp.dtype | None = None  # see Mlp.out_dtype
 
     @nn.compact
     def __call__(self, x: Array, residual: Array, deterministic: bool = True):
@@ -248,8 +291,9 @@ class BigSkipMlp(nn.Module):
             y = grid_mlp(
                 x, k1, b1, k2, b2=b2, skip=residual,
                 mxu_dtype=self.mxu_dtype,
+                out_dtype=self.out_dtype or self.dtype,
             )
-            return y.astype(self.dtype)
+            return y.astype(self.out_dtype or self.dtype)
 
         h = _SplitDense(
             self.hidden_features,
@@ -279,14 +323,24 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: Array, return_affine: bool = False):
+    def __call__(self, x: Array, return_affine: bool = False, stats=None):
         in_dtype = x.dtype
         c = x.shape[-1]
         x32 = x.astype(jnp.float32)
-        # single-pass statistics (E[x^2] - E[x]^2): one read of the (large)
-        # activation instead of jnp.var's two, fp32 accumulation
-        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
-        mean_sq = jnp.mean(x32 * x32, axis=(-3, -2), keepdims=True)
+        if stats is not None:
+            # precomputed (ssum, ssq, count) per sample — e.g. accumulated
+            # inside the producer's Pallas kernel (Mlp.with_stats): the
+            # full-res activation is never re-read here.  Same single-pass
+            # E[x^2]-E[x]^2 formula as below.
+            ssum, ssq, count = stats
+            shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            mean = (ssum / count).reshape(shape)
+            mean_sq = (ssq / count).reshape(shape)
+        else:
+            # single-pass statistics (E[x^2] - E[x]^2): one read of the
+            # (large) activation instead of jnp.var's two, fp32 accumulation
+            mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+            mean_sq = jnp.mean(x32 * x32, axis=(-3, -2), keepdims=True)
         var = jnp.maximum(mean_sq - mean * mean, 0.0)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))

@@ -85,7 +85,7 @@ def _gelu_exact(x):
 
 
 def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
-                 mxu_dtype):
+                 mxu_dtype, out_dtype, tiles_per_sample: int = 0):
     def kernel(*refs):
         it = iter(refs)
         x_ref = next(it)
@@ -96,6 +96,8 @@ def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
         b2_ref = next(it) if has_b2 else None
         pe_ref = next(it) if has_pe else None
         out_ref = next(it)
+        ssum_ref = next(it) if tiles_per_sample else None
+        ssq_ref = next(it) if tiles_per_sample else None
 
         h = jnp.dot(
             x_ref[:].astype(mxu_dtype), w1_ref[:c_main],
@@ -115,8 +117,34 @@ def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
         if has_b2:
             y = y + b2_ref[:]
         if has_pe:
-            y = y + pe_ref[:]
-        out_ref[:] = y
+            # pe arrives in its storage dtype (bf16 on the fast tier —
+            # halves the 1 GB full-res positional-embed read); the add
+            # happens in f32 registers either way
+            y = y + pe_ref[:].astype(jnp.float32)
+        # bf16 out_dtype rounds at the WRITE instead of in a downstream
+        # convert fusion: same values, half the write traffic, and no
+        # 1 GB fp32 intermediate for the consumer to re-read (round-5
+        # trace: the encoder's f32 output cost ~1.3 ms of pure traffic)
+        out_ref[:] = y.astype(out_dtype)
+        if tiles_per_sample:
+            # per-sample instance-norm statistics ride the output write:
+            # the downstream norm never re-reads the full-res activation
+            # (round-5 trace: the separate stats+convert fusion cost
+            # 2.3 ms/step at 721x1440x256).  Sums accumulate in f32 over
+            # the f32 pre-rounding y — identical to the unfused path,
+            # which also computed stats from the kernel's f32 output.
+            # TPU grid steps run sequentially and i//tps is non-decreasing,
+            # so the (1, C) accumulator block stays VMEM-resident per
+            # sample (standard revisit pattern).
+            i = pl.program_id(0)
+
+            @pl.when(i % tiles_per_sample == 0)
+            def _init():
+                ssum_ref[:] = jnp.zeros_like(ssum_ref)
+                ssq_ref[:] = jnp.zeros_like(ssq_ref)
+
+            ssum_ref[:] += jnp.sum(y, axis=0, keepdims=True)
+            ssq_ref[:] += jnp.sum(y * y, axis=0, keepdims=True)
 
     return kernel
 
@@ -124,15 +152,22 @@ def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("has_skip", "has_b2", "has_pe", "pe_rows", "mxu_dtype",
-                     "interpret", "tile_n"),
+                     "interpret", "tile_n", "out_dtype", "stats_rows"),
 )
 def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
                    has_b2: bool, has_pe: bool, pe_rows: int, mxu_dtype: str,
-                   interpret: bool, tile_n: int):
+                   interpret: bool, tile_n: int, out_dtype: str = "float32",
+                   stats_rows: int = 0):
     n, c_main = x.shape
     hidden = w1.shape[1]
     c_out = w2.shape[1]
     md = kernel_mxu_dtype(mxu_dtype)
+    od = jnp.dtype(out_dtype)
+    if stats_rows and (n % stats_rows or stats_rows % tile_n):
+        raise ValueError(
+            f"stats_rows {stats_rows} must divide n {n} and be a multiple "
+            f"of tile {tile_n}"
+        )
 
     n_pad = -n % tile_n
     if n_pad:
@@ -168,31 +203,58 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
                                      lambda i: (i % pe_tiles, 0),
                                      memory_space=pltpu.VMEM))
 
-    kernel = _make_kernel(c_main, has_skip, has_b2, has_pe, md)
+    tps = stats_rows // tile_n if stats_rows else 0
+    kernel = _make_kernel(c_main, has_skip, has_b2, has_pe, md, od,
+                          tiles_per_sample=tps)
     c_in_total = c_main + (skip.shape[1] if has_skip else 0)
     flops = 2 * n_tot * (c_in_total * hidden + hidden * c_out)
-    bytes_accessed = 4 * n_tot * (c_in_total + c_out) + sum(
-        o.dtype.itemsize * o.size for o in operands[1 if not has_skip else 2:]
+    bytes_accessed = (
+        x.dtype.itemsize * n_tot * c_in_total
+        + od.itemsize * n_tot * c_out
+        + sum(
+            o.dtype.itemsize * o.size
+            for o in operands[1 if not has_skip else 2:]
+        )
     )
+
+    out_specs = pl.BlockSpec((tile_n, c_out), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tot, c_out), od)
+    if tps:
+        n_samples = n // stats_rows
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, c_out), lambda i: (i // tps, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (i // tps, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((n_samples, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_samples, c_out), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
         grid=(n_tot // tile_n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_n, c_out), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tot, c_out), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=n_tot * hidden,
         ),
         interpret=interpret,
     )(*operands)
+    if tps:
+        y, ssum, ssq = out
+        return y[:n], ssum, ssq
     return out[:n]
 
 
-def _ref_mlp(ops: dict):
-    """jnp reference with identical semantics (fp32 math)."""
+def _ref_mlp_f32(ops: dict):
+    """jnp reference with identical semantics (fp32 math, pre-rounding)."""
     x = ops["x"].astype(jnp.float32)
     h = x @ ops["w1"][: x.shape[-1]]
     if "skip" in ops:
@@ -204,44 +266,105 @@ def _ref_mlp(ops: dict):
     if "pe" in ops:
         n = x.shape[0]
         reps = n // ops["pe"].shape[0]
-        y = y + jnp.tile(ops["pe"], (reps, 1))
+        y = y + jnp.tile(ops["pe"].astype(jnp.float32), (reps, 1))
     return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _grid_mlp(ops: dict, mxu_dtype: str, interpret: bool, tile_n: int):
+def _ref_mlp(ops: dict, out_dtype: str = "float32"):
+    return _ref_mlp_f32(ops).astype(jnp.dtype(out_dtype))
+
+
+def _ref_mlp_stats(ops: dict, out_dtype: str, stats_rows: int):
+    y = _ref_mlp_f32(ops)
+    c = y.shape[-1]
+    ys = y.reshape(-1, stats_rows, c)
+    return (
+        y.astype(jnp.dtype(out_dtype)),
+        jnp.sum(ys, axis=1),
+        jnp.sum(ys * ys, axis=1),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _grid_mlp(ops: dict, mxu_dtype: str, interpret: bool, tile_n: int,
+              out_dtype: str):
     return _grid_mlp_call(
         ops["x"], ops.get("skip"), ops["w1"], ops["b1"], ops["w2"],
         ops.get("b2"), ops.get("pe"),
         has_skip="skip" in ops, has_b2="b2" in ops, has_pe="pe" in ops,
         pe_rows=ops["pe"].shape[0] if "pe" in ops else 0,
         mxu_dtype=mxu_dtype, interpret=interpret, tile_n=tile_n,
+        out_dtype=out_dtype,
     )
 
 
-def _fwd(ops, mxu_dtype, interpret, tile_n):
-    return _grid_mlp(ops, mxu_dtype, interpret, tile_n), ops
+def _fwd(ops, mxu_dtype, interpret, tile_n, out_dtype):
+    return _grid_mlp(ops, mxu_dtype, interpret, tile_n, out_dtype), ops
 
 
-def _bwd(mxu_dtype, interpret, tile_n, ops, g):
-    _, vjp = jax.vjp(_ref_mlp, ops)
+def _bwd(mxu_dtype, interpret, tile_n, out_dtype, ops, g):
+    _, vjp = jax.vjp(functools.partial(_ref_mlp, out_dtype=out_dtype), ops)
     return vjp(g)
 
 
 _grid_mlp.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _grid_mlp_with_stats(ops: dict, mxu_dtype: str, interpret: bool,
+                         tile_n: int, out_dtype: str, stats_rows: int):
+    return _grid_mlp_call(
+        ops["x"], ops.get("skip"), ops["w1"], ops["b1"], ops["w2"],
+        ops.get("b2"), ops.get("pe"),
+        has_skip="skip" in ops, has_b2="b2" in ops, has_pe="pe" in ops,
+        pe_rows=ops["pe"].shape[0] if "pe" in ops else 0,
+        mxu_dtype=mxu_dtype, interpret=interpret, tile_n=tile_n,
+        out_dtype=out_dtype, stats_rows=stats_rows,
+    )
+
+
+def _fwd_stats(ops, mxu_dtype, interpret, tile_n, out_dtype, stats_rows):
+    return (
+        _grid_mlp_with_stats(ops, mxu_dtype, interpret, tile_n, out_dtype,
+                             stats_rows),
+        ops,
+    )
+
+
+def _bwd_stats(mxu_dtype, interpret, tile_n, out_dtype, stats_rows, ops, g):
+    _, vjp = jax.vjp(
+        functools.partial(_ref_mlp_stats, out_dtype=out_dtype,
+                          stats_rows=stats_rows),
+        ops,
+    )
+    return vjp(g)
+
+
+_grid_mlp_with_stats.defvjp(_fwd_stats, _bwd_stats)
+
+
 def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              b2: jax.Array | None = None, skip: jax.Array | None = None,
              pe: jax.Array | None = None, mxu_dtype: str = "bfloat16",
-             interpret: bool = False) -> jax.Array:
+             interpret: bool = False,
+             out_dtype: jnp.dtype | None = None,
+             stats_rows: int | None = None):
     """Fused pointwise two-layer MLP over grid pixels.
 
     x: (..., C_main); skip: optional (..., C_skip) concatenated input (the
     fc1 kernel w1 is (C_main + C_skip, hidden), split-dense layout);
     pe: optional (H, W, C_out) or (H*W, C_out) additive term broadcast over
-    leading batch dims (requires x's pixel count to be a multiple of H*W).
-    Returns fp32 (..., C_out).
+    leading batch dims (requires x's pixel count to be a multiple of H*W),
+    read in ITS OWN dtype (pass bf16 to halve the full-res read).
+    Returns (..., C_out) in `out_dtype` (default fp32): the kernel rounds
+    at the output write, so asking for bf16 directly replaces a downstream
+    convert of a GB-scale fp32 intermediate with identical values.
+
+    stats_rows: if set (rows per sample, e.g. H*W), ALSO returns per-sample
+    instance-norm statistics accumulated in-kernel from the f32
+    pre-rounding output — returns (y, ssum, ssq) with ssum/ssq f32
+    (n_samples, C_out).  Falls back to (y, None, None) when the tile does
+    not divide stats_rows (caller computes stats the plain way).
     """
     from msfno_tpu.ops.pallas import resolve_interpret
 
@@ -265,7 +388,7 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
 
     pe_flat = None
     if pe is not None:
-        pe_flat = pe.reshape(-1, pe.shape[-1]).astype(jnp.float32)
+        pe_flat = pe.reshape(-1, pe.shape[-1])
         if n % pe_flat.shape[0] != 0:
             raise ValueError(
                 f"pixel count {n} not a multiple of pe rows {pe_flat.shape[0]}"
@@ -277,10 +400,28 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     else:
         tile = _pick_tile(n, False)
 
-    out = _grid_mlp(ops, mxu_dtype, interpret, tile)
+    od = str(jnp.dtype(out_dtype or jnp.float32))
+    c_out = w2.shape[1]
+    want_stats = stats_rows is not None
+    stats_ok = (
+        want_stats
+        and n % stats_rows == 0
+        and stats_rows % tile == 0
+        and ("pe" in ops or pe_flat is None)  # no unfused-pe fallback mixes
+    )
+    if stats_ok:
+        y, ssum, ssq = _grid_mlp_with_stats(
+            ops, mxu_dtype, interpret, tile, od, stats_rows
+        )
+        return y.reshape(*lead, c_out), ssum, ssq
+    out = _grid_mlp(ops, mxu_dtype, interpret, tile, od)
     if pe_flat is not None and "pe" not in ops:
         # no aligned tile for this grid: unfused add (correctness fallback)
         reps = n // pe_flat.shape[0]
-        out = out + jnp.tile(pe_flat, (reps, 1))
-    c_out = w2.shape[1]
-    return out.reshape(*lead, c_out)
+        out = (out.astype(jnp.float32)
+               + jnp.tile(pe_flat.astype(jnp.float32), (reps, 1))
+               ).astype(out.dtype)
+    out = out.reshape(*lead, c_out)
+    if want_stats:
+        return out, None, None
+    return out
