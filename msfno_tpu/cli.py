@@ -582,7 +582,17 @@ def resolve_mesh(args):
             )
         return make_mesh(need, shape=shape)
     if n > 1:
-        mesh = make_mesh(n)
+        # --mesh auto policy (deliberate, measured — BASELINE.md "Round-5
+        # comm volume"): training with a real batch gets a DATA-MAJOR mesh
+        # (the data axis carries no per-step all_to_all; gradient reduce is
+        # cheap), batch-1 work gets the lat-first split (memory relief for
+        # the 0.5-1 GB full-res activations + pos_embed).
+        data_target = 1
+        if getattr(args, "train", False):
+            data_target = max(
+                1, int(args.batch_size) * jax.process_count()
+            )
+        mesh = make_mesh(n, data_target=data_target)
         log.info("SPMD mesh over %d devices: %s", n, dict(mesh.shape))
         return mesh
     return None

@@ -27,10 +27,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXES = ("data", "lat", "channel")
 
 
-def factorize(n: int) -> tuple[int, int, int]:
-    """Split n devices into (data, lat, channel) sizes: prime factors are
-    dealt round-robin lat -> channel -> data so a balanced mesh exercises
-    every parallelism axis (e.g. 8 -> (2, 2, 2), 4 -> (1, 2, 2))."""
+def factorize(n: int, data_target: int = 1) -> tuple[int, int, int]:
+    """Split n devices into (data, lat, channel) sizes.
+
+    data_target > 1 (training with a real batch): prime factors are dealt
+    to the DATA axis first, up to data_target — the data axis carries no
+    per-step all_to_all, so data-major meshes are the scaling-efficient
+    choice for training (measured comm model: BASELINE.md "Round-5 comm
+    volume" — lat-sharding a batch-1 step moves 313-615 MB/shard/step).
+
+    data_target == 1 (default; batch-1 inference): factors are dealt
+    round-robin lat -> channel -> data — lat-sharding divides the 0.5-1 GB
+    full-res activations and the pos_embed for memory relief
+    (e.g. 8 -> (2, 2, 2), 4 -> (1, 2, 2))."""
     factors = []
     m = n
     d = 2
@@ -40,8 +49,14 @@ def factorize(n: int) -> tuple[int, int, int]:
             m //= d
         d += 1 if d == 2 else 2
     sizes = {"lat": 1, "channel": 1, "data": 1}
+    rest = []
+    for f in sorted(factors, reverse=True):
+        if sizes["data"] * f <= data_target:
+            sizes["data"] *= f
+        else:
+            rest.append(f)
     order = ["lat", "channel", "data"]
-    for i, f in enumerate(sorted(factors, reverse=True)):
+    for i, f in enumerate(rest):
         sizes[order[i % 3]] *= f
     return (sizes["data"], sizes["lat"], sizes["channel"])
 
@@ -50,12 +65,13 @@ def make_mesh(
     n_devices: int | None = None,
     shape: tuple[int, int, int] | None = None,
     devices=None,
+    data_target: int = 1,
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    shape = shape or factorize(n)
+    shape = shape or factorize(n, data_target=data_target)
     if math.prod(shape) != n:
         raise ValueError(f"mesh shape {shape} != {n} devices")
     arr = np.asarray(devices[:n]).reshape(shape)

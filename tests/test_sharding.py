@@ -22,6 +22,19 @@ def test_factorize():
     assert factorize(1) == (1, 1, 1)
 
 
+def test_factorize_data_target():
+    """Training policy: factors go to the data axis first, up to the global
+    batch (BASELINE.md round-5 comm model: the data axis carries no
+    per-step all_to_all).  data_target=1 keeps the lat-first inference
+    split unchanged."""
+    assert factorize(8, data_target=8) == (8, 1, 1)
+    assert factorize(8, data_target=4) == (4, 2, 1)
+    assert factorize(8, data_target=2) == (2, 2, 2)
+    assert factorize(8, data_target=3) == (2, 2, 2)  # only whole factors
+    assert factorize(8, data_target=1) == factorize(8)
+    assert factorize(12, data_target=6) == (6, 2, 1)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 class TestShardedTraining:
     def test_sharded_step_runs(self):
