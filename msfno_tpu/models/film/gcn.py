@@ -92,15 +92,53 @@ def gcn_normalize(mask: Array) -> Array:
     return jnp.where(mask > 0, jax.lax.rsqrt(deg), 0.0)
 
 
+class _GCNDenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree ({kernel}) and the reference's
+    leaky-relu-gain xavier init, for the fused-kernel path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.variance_scaling(
+                2.0 / (1.0 + 0.01**2), "fan_avg", "uniform"
+            ),
+            (in_features, self.features),
+        )
+
+
 class GraphConvolution(nn.Module):
-    """One dense masked-grid GCN step (reference gcn/layers.py:8-48)."""
+    """One dense masked-grid GCN step (reference gcn/layers.py:8-48).
+
+    `fuse=True` routes through the fused Pallas layer kernel
+    (ops/pallas/gcn_layer.py) which ALSO applies the trailing leaky-relu and
+    optional residual add — the generator passes them in and skips its own.
+    The parameter tree is identical either way ({weight/kernel, bias})."""
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    fuse: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, mask: Array, dinv_sqrt: Array) -> Array:
+    def __call__(self, x: Array, mask: Array, dinv_sqrt: Array,
+                 residual: Array | None = None) -> Array:
+        if self.fuse:
+            from msfno_tpu.ops.pallas.gcn_layer import gcn_layer
+
+            k = _GCNDenseParams(self.features, name="weight")(x.shape[-1])
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            assert self.use_bias
+            return gcn_layer(
+                x, k, b, dinv_sqrt, mask, residual=residual,
+                mxu_dtype=str(jnp.dtype(self.dtype)),
+                out_dtype=self.dtype,
+            )
+        assert residual is None, "residual fusion requires fuse=True"
         support = nn.Dense(
             self.features,
             use_bias=False,
@@ -136,6 +174,11 @@ class GCNFilmGenerator(nn.Module):
     depth: int = 6
     custom: bool = True
     dtype: jnp.dtype = jnp.float32
+    # fused per-layer Pallas kernel (ops/pallas/gcn_layer.py): Dense + box3
+    # stencil + normalize/bias/mask/activation/residual in one HBM pass
+    # (round-5 trace: the unfused 7-layer stack cost ~5.3 ms/step);
+    # single-device only — under an active mesh the plain path runs
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, sst: Array, deterministic: bool = True) -> Array:
@@ -155,18 +198,25 @@ class GCNFilmGenerator(nn.Module):
         mask_c = mask.astype(self.dtype)
         dinv_c = dinv.astype(self.dtype)
 
+        from msfno_tpu.parallel.annotate import active_mesh
+
+        fuse = self.use_pallas and active_mesh() is None
+
         act = lambda v: jax.nn.leaky_relu(v, 0.01)
-        x = act(
-            GraphConvolution(self.embed_dim, dtype=self.dtype, name="conv1")(
-                x, mask_c, dinv_c
+
+        def layer(v, res, name):
+            gc = GraphConvolution(
+                self.embed_dim, dtype=self.dtype, fuse=fuse, name=name
             )
-        )
+            if fuse:
+                # the kernel applies activation + residual internally
+                return gc(v, mask_c, dinv_c, residual=res)
+            y = act(gc(v, mask_c, dinv_c))
+            return y if res is None else res + y
+
+        x = layer(x, None, "conv1")
         for i in range(self.depth):
-            x = x + act(
-                GraphConvolution(self.embed_dim, dtype=self.dtype, name=f"conv_{i}")(
-                    x, mask_c, dinv_c
-                )
-            )
+            x = layer(x, x, f"conv_{i}")
         x = x.astype(jnp.float32)
 
         # mean over ocean nodes (global_mean_pool / mean(dim=-2))

@@ -34,7 +34,7 @@ class FilmWrapper(nn.Module):
         if kind == "gcn":
             x = GCNFilmGenerator(
                 out, cfg.embed_dim, cfg.model_depth, custom=False, dtype=dtype,
-                name="film_gen",
+                use_pallas=cfg.pallas_gcn, name="film_gen",
             )(sst, deterministic)
         elif kind == "transformer":
             x = ViTFilmGenerator(
@@ -87,7 +87,7 @@ class FilmWrapper(nn.Module):
             # them to the gcn_custom default (main.py:130-134)
             x = GCNFilmGenerator(
                 out, cfg.embed_dim, cfg.model_depth, custom=True, dtype=dtype,
-                name="film_gen",
+                use_pallas=cfg.pallas_gcn, name="film_gen",
             )(sst, deterministic)
         else:
             raise ValueError(

@@ -143,6 +143,13 @@ class FourierNeuralOperatorBlock(nn.Module):
     filmed: bool = False
     checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
+    # fused-tail (LAST block only, set by the net): skip the inverse DFT and
+    # return (hm, a, b) — the Legendre-synthesis intermediate plus the
+    # combined norm1+FiLM affine — for the fused spectral->output decoder
+    # kernel (ops/pallas/spectral_decoder.py).  The caller guarantees:
+    # non-linear SHT filter on the matmul-DFT path, instance norm, no
+    # inner/outer skip, no channel MLP, no drop path, no active mesh.
+    fuse_tail: bool = False
 
     @nn.compact
     def __call__(
@@ -155,6 +162,11 @@ class FourierNeuralOperatorBlock(nn.Module):
         norm0_stats=None,
     ) -> Array:
         residual = x
+
+        if self.fuse_tail:
+            return self._fused_tail(
+                x, gamma, beta, scale, deterministic, norm0_stats
+            )
 
         filt = make_filter(
             self.filter_type,
@@ -244,3 +256,54 @@ class FourierNeuralOperatorBlock(nn.Module):
             x = x + residual
 
         return annotate_grid(x)
+
+    def _fused_tail(self, x, gamma, beta, scale, deterministic, norm0_stats):
+        """Last-block body for the fused decoder tail: identical math to the
+        standard path up to (and including) the norm1+FiLM affine, but the
+        inverse DFT is deferred and the affine returned in folded (a, b)
+        form — the grid-space field is never materialized (round-5 trace:
+        5.65 ms/step of transpose + statistics + decoder traffic)."""
+        from msfno_tpu.ops.pallas.spectral_decoder import spectral_grid_stats
+
+        assert (
+            self.filter_type == "non-linear"
+            and self.spectral_transform == "sht"
+            and self.norm_kind == "instance_norm"
+            and self.inner_skip is None
+            and self.outer_skip is None
+            and not self.use_mlp
+            and self.drop_path_rate == 0.0
+        ), "fuse_tail set on an incompatible block configuration"
+        filt = make_filter(
+            self.filter_type,
+            self.spectral_transform,
+            self.forward_transform,
+            self.inverse_transform,
+            self.embed_dim,
+            self.mlp_ratio,
+            self.complex_activation,
+            self.spectral_layers,
+            self.compression,
+            self.rank,
+            self.use_pallas,
+            self.mxu_dtype,
+            drop_rate=self.drop_rate,
+        )
+        norm0 = make_norm(self.norm_kind, self.input_shape, "norm0")
+        a0, b0 = norm0(x, True, norm0_stats)
+        hm = filt(x, norm_affine=(a0, b0), deterministic=deterministic,
+                  defer_inverse=True)
+
+        itrans = self.inverse_transform
+        mean, mean_sq = spectral_grid_stats(hm, itrans.mode_power_weights)
+        norm1 = make_norm(self.norm_kind, self.output_shape, "norm1")
+        # InstanceNorm's stats contract is (ssum, ssq, count); the spectral
+        # identities already yield means, so count=1
+        a1, b1 = norm1(hm, True, (mean, mean_sq, 1.0))
+        a1 = a1[:, 0, 0, :]
+        b1 = b1[:, 0, 0, :]
+        if self.filmed:
+            # film_modulation(norm(x)) = (1+g*s)*(a1*x+b1) + beta*s
+            g = 1.0 + gamma.astype(jnp.float32) * scale
+            return hm, a1 * g, b1 * g + beta.astype(jnp.float32) * scale
+        return hm, a1, b1

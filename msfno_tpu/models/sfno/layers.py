@@ -277,7 +277,26 @@ class BigSkipMlp(nn.Module):
     out_dtype: jnp.dtype | None = None  # see Mlp.out_dtype
 
     @nn.compact
-    def __call__(self, x: Array, residual: Array, deterministic: bool = True):
+    def __call__(self, x, residual: Array, deterministic: bool = True):
+        if isinstance(x, tuple):
+            # fused-tail path: x = (hm, a, b, mt) from the last block's
+            # deferred inverse DFT (see blocks._fused_tail) — the inverse
+            # DFT, norm/FiLM affine and both decoder matmuls run in ONE
+            # Pallas pass; parameter tree unchanged ({fc1,fc2}/{kernel,bias})
+            from msfno_tpu.ops.pallas.spectral_decoder import spectral_decoder
+
+            hm, a, b, mt = x
+            k1, b1 = _DenseParams(self.hidden_features, name="fc1")(
+                self.in_main + self.skip_features
+            )
+            k2, b2 = _DenseParams(
+                self.out_features, use_bias=self.output_bias, name="fc2"
+            )(self.hidden_features)
+            return spectral_decoder(
+                hm, residual, mt, a, b, k1, b1, k2, b2=b2,
+                mxu_dtype=self.mxu_dtype,
+                out_dtype=self.out_dtype or self.dtype,
+            )
         if self.use_pallas and active_mesh() is None:
             # see Mlp: pallas_call cannot be GSPMD-partitioned under a mesh
             from msfno_tpu.ops.pallas.grid_mlp import grid_mlp
@@ -415,7 +434,8 @@ class SpectralAttentionS2(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, norm_affine=None,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 defer_inverse: bool = False) -> Array:
         in_dtype = x.dtype
         hidden = int(self.hidden_size_factor * self.embed_dim)
         forward_transform, inverse_transform = self._transforms()
@@ -484,6 +504,14 @@ class SpectralAttentionS2(nn.Module):
             x = compl_mul(x, to_complex(wout), precision=prec)
         x = annotate_spectral(x)
 
+        if defer_inverse:
+            # fused-tail path (ops/pallas/spectral_decoder.py): hand back the
+            # fp32 Legendre-synthesis intermediate; the caller runs the
+            # inverse DFT inside the fused decoder kernel
+            from msfno_tpu.ops.sht import InverseRealSHT
+
+            assert isinstance(inverse_transform, InverseRealSHT)
+            return inverse_transform.synthesis_hm(x)
         x = inverse_transform(x)
         return x.astype(in_dtype)
 

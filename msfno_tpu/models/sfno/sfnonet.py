@@ -156,11 +156,36 @@ def _encode(net: nn.Module, cfg: SFNOConfig, x: Array,
     return annotate_grid(x), stats
 
 
-def _decode(cfg: SFNOConfig, x: Array, residual: Array,
-            deterministic: bool) -> Array:
+def _tail_fusible(cfg: SFNOConfig) -> bool:
+    """True when the last block + decoder can run as the fused
+    spectral->output kernel (ops/pallas/spectral_decoder.py): the standard
+    non-linear-SHT / instance-norm / big-skip configuration, on the
+    single-device Pallas path (same gate as the grid-MLP kernel)."""
+    from msfno_tpu.parallel.annotate import active_mesh
+
+    return (
+        cfg.fuse_decoder_tail
+        and cfg.pallas_grid_mlp
+        and active_mesh() is None
+        and cfg.big_skip
+        and cfg.filter_type == "non-linear"
+        and cfg.spectral_transform == "sht"
+        and cfg.normalization_layer == "instance_norm"
+        and cfg.fuse_norm_sht
+        and cfg.drop_path_rate == 0.0
+    )
+
+
+def _decode(cfg: SFNOConfig, x, residual: Array,
+            deterministic: bool, itrans=None) -> Array:
     """Decoder MLP, with the big-skip concat folded into a split-kernel
-    first layer (and, under the fused kernel, no hidden-state HBM trip)."""
+    first layer (and, under the fused kernel, no hidden-state HBM trip).
+    When the last block ran in fused-tail mode, `x` is the (hm, a, b)
+    spectral intermediate + affine and the whole tail runs as one kernel."""
     dtype = jnp.dtype(cfg.compute_dtype)
+    if isinstance(x, tuple):
+        hm, a, b = x
+        x = (hm, a, b, jnp.asarray(itrans.merged_matrix_t))
     if cfg.big_skip:
         dec_cls = (
             nn.remat(BigSkipMlp, static_argnums=(3,))
@@ -210,12 +235,17 @@ class FourierNeuralOperatorNet(nn.Module):
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:
             block_cls = nn.remat(FourierNeuralOperatorBlock, static_argnums=(5,))
+        fuse_tail = _tail_fusible(cfg)
         for i in range(cfg.num_layers):
-            blk = block_cls(**_block_kwargs(cfg, i, transforms), name=f"blocks_{i}")
+            blk = block_cls(
+                **_block_kwargs(cfg, i, transforms),
+                fuse_tail=fuse_tail and i == cfg.num_layers - 1,
+                name=f"blocks_{i}",
+            )
             x = blk(x, None, None, 1.0, deterministic,
                     enc_stats if i == 0 else None)
 
-        x = _decode(cfg, x, residual, deterministic)
+        x = _decode(cfg, x, residual, deterministic, itrans=transforms[1])
         return x.astype(jnp.float32)
 
 
@@ -250,11 +280,13 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
         if cfg.checkpointing_block:
             block_cls = nn.remat(FourierNeuralOperatorBlock, static_argnums=(5,))
         n_film = film_cfg.film_layers
+        fuse_tail = _tail_fusible(cfg)
         for i in range(cfg.num_layers):
             filmed = film_cfg.repeat_film or i >= cfg.num_layers - n_film
             blk = block_cls(
                 **_block_kwargs(cfg, i, transforms),
                 filmed=filmed,
+                fuse_tail=fuse_tail and i == cfg.num_layers - 1,
                 name=f"blocks_{i}",
             )
             stats_i = enc_stats if i == 0 else None
@@ -269,5 +301,5 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
             else:
                 x = blk(x, None, None, 1.0, deterministic, stats_i)
 
-        x = _decode(cfg, x, residual, deterministic)
+        x = _decode(cfg, x, residual, deterministic, itrans=transforms[1])
         return x.astype(jnp.float32)

@@ -42,6 +42,10 @@ TILE_N = 256
 # packed double-width matmul kernel (default) vs the original 4-dot kernel;
 # module-level so benches can A/B both paths
 PACKED = True
+# 3-GEMM Karatsuba complex multiply (25% fewer MXU FLOPs than the packed
+# 4-GEMM-equivalent form, at the cost of three smaller dots per layer plus
+# VPU adds); module-level so benches can A/B — see tools/bench_spectral_kernel
+KARATSUBA = False
 # fused Pallas input-gradient kernel (bf16 path) vs jnp-reference VJP;
 # module-level so benches can A/B the backward alone
 PALLAS_BWD = True
@@ -234,6 +238,103 @@ def _fused_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
     return out_r, out_i
 
 
+def _make_karatsuba_kernel(n_layers: int, negative_slope: float, mxu_dtype):
+    """3-GEMM complex multiply per layer (Karatsuba):
+
+        k1 = (hr + hi) @ wr,  k2 = hr @ (wi - wr),  k3 = hi @ (wr + wi)
+        re = k1 - k3,         im = k1 + k2
+
+    The weight combinations are precomputed at call level, so the kernel
+    runs 3 (T, d_in) x (d_in, d_out) dots — 3/4 the MXU work of the packed
+    (T, 2d_in) x (2d_in, 2d_out) form — plus three VPU adds."""
+
+    def kernel(xr_ref, xi_ref, *refs):
+        # refs: wr0, wd0, ws0, wr1, ... , out_r, out_i
+        w_refs = refs[: 3 * n_layers]
+        out_r, out_i = refs[3 * n_layers], refs[3 * n_layers + 1]
+        hr = xr_ref[:]
+        hi = xi_ref[:]
+        for idx in range(n_layers):
+            wr = w_refs[3 * idx][:]
+            wd = w_refs[3 * idx + 1][:]
+            ws = w_refs[3 * idx + 2][:]
+            k1 = jnp.dot((hr + hi).astype(mxu_dtype), wr,
+                         preferred_element_type=jnp.float32)
+            k2 = jnp.dot(hr.astype(mxu_dtype), wd,
+                         preferred_element_type=jnp.float32)
+            k3 = jnp.dot(hi.astype(mxu_dtype), ws,
+                         preferred_element_type=jnp.float32)
+            nr = k1 - k3
+            ni = k1 + k2
+            if idx < n_layers - 1:
+                nr = jnp.where(nr >= 0, nr, negative_slope * nr)
+            hr, hi = nr, ni
+        out_r[:] = hr
+        out_i[:] = hi
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("negative_slope", "interpret", "mxu_dtype", "tile_n"),
+)
+def _karatsuba_call(xr, xi, *flat_ws, negative_slope: float = 0.0,
+                    interpret: bool = False, mxu_dtype: str = "float32",
+                    tile_n: int = 512):
+    n_layers = len(flat_ws) // 2
+    n, c_in = xr.shape
+    c_out = flat_ws[-2].shape[1]
+    md = kernel_mxu_dtype(mxu_dtype)
+
+    n_pad = -n % tile_n
+    if n_pad:
+        xr = jnp.pad(xr, ((0, n_pad), (0, 0)))
+        xi = jnp.pad(xi, ((0, n_pad), (0, 0)))
+    n_tot = n + n_pad
+
+    kws = []
+    for k in range(n_layers):
+        wr, wi = flat_ws[2 * k], flat_ws[2 * k + 1]
+        kws += [wr.astype(md), (wi - wr).astype(md), (wr + wi).astype(md)]
+
+    kernel = _make_karatsuba_kernel(n_layers, negative_slope, md)
+    x_spec = pl.BlockSpec((tile_n, c_in), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in kws
+    ]
+    out_spec = pl.BlockSpec((tile_n, c_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    flops = 0
+    d_in = c_in
+    for k in range(n_layers):
+        d_out = flat_ws[2 * k].shape[1]
+        flops += n_tot * d_in * d_out * 6  # 3 real matmuls x 2 flops/MAC
+        d_in = d_out
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tot // tile_n,),
+        in_specs=[x_spec, x_spec] + w_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tot, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_tot, c_out), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * n_tot * (c_in + c_out))
+            + sum(w.dtype.itemsize * w.size for w in kws),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr, xi, *kws)
+    return out_r[:n], out_i[:n]
+
+
 def _make_packed_bwd_kernel(n_layers: int, negative_slope: float, mxu_dtype,
                             d_outs: tuple[int, ...]):
     """Fused input-gradient kernel: recompute the packed forward per tile
@@ -354,7 +455,8 @@ def _spectral_mlp_flat(x2, ws, negative_slope: float, interpret: bool,
     flat = []
     for w in ws:
         flat += [w[..., 0], w[..., 1]]
-    call = _packed_call if PACKED else _fused_call
+    call = (_karatsuba_call if KARATSUBA
+            else _packed_call if PACKED else _fused_call)
     out_r, out_i = call(
         x2[..., 0], x2[..., 1], *flat,
         negative_slope=negative_slope, interpret=interpret,

@@ -234,6 +234,43 @@ class InverseRealSHT:
         layout the merged DFT consumes — no grid-height concat of re/im."""
         return np.concatenate([self.pct, self.pct], axis=0)
 
+    @functools.cached_property
+    def merged_matrix_t(self) -> np.ndarray:
+        """(nlon, 2*mmax) fp32: the transposed merged synthesis matrix, the
+        DFT operand of the fused spectral->output decoder kernel
+        (ops/pallas/spectral_decoder.py)."""
+        return np.ascontiguousarray(
+            _dft_synthesis_merged(self.nlon, self.mmax).T
+        )
+
+    @functools.cached_property
+    def mode_power_weights(self) -> np.ndarray:
+        """(2*mmax,) fp32 omega with sum_w x_w^2 = nlon * sum_m omega_m hm_m^2
+        for x = hm @ merged matrix — diag(M M^T)/nlon computed numerically in
+        float64, so the k_m doubling and the zeroed m=0 sin row are automatic
+        (off-diagonals of M M^T vanish by DFT orthogonality; pinned by
+        tests/test_spectral_decoder.py)."""
+        mat = _dft_synthesis_merged(self.nlon, self.mmax).astype(np.float64)
+        return (np.einsum("mw,mw->m", mat, mat) / self.nlon).astype(np.float32)
+
+    def synthesis_hm(self, coeffs: jax.Array) -> jax.Array:
+        """Legendre synthesis ONLY: (..., L, M, C) complex -> the
+        (..., H, 2M, C) fp32 stacked [re | im] intermediate that the merged
+        inverse DFT (or the fused decoder kernel) consumes."""
+        if coeffs.shape[-3] != self.lmax or coeffs.shape[-2] != self.mmax:
+            raise ValueError(
+                f"expected (..., {self.lmax}, {self.mmax}, C), got {coeffs.shape}"
+            )
+        if self.lon_dft != "matmul" or self.mmax > self.nlon // 2 + 1:
+            raise ValueError("synthesis_hm requires the matmul DFT path")
+        coeffs = coeffs.astype(jnp.complex64)
+        prec = _matmul_precision(self.mxu_dtype)
+        cat = jnp.concatenate([jnp.real(coeffs), jnp.imag(coeffs)], axis=-2)
+        return jnp.einsum(
+            "mlh,...lmc->...hmc", jnp.asarray(self.pct2), cat,
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
     def __call__(self, coeffs: jax.Array) -> jax.Array:
         if coeffs.shape[-3] != self.lmax or coeffs.shape[-2] != self.mmax:
             raise ValueError(
@@ -249,10 +286,7 @@ class InverseRealSHT:
             # stacked path: concat re/im at SPECTRAL size, then ONE Legendre
             # einsum (pct2) and ONE DFT matmul — a single full-res write and
             # no (H, 2M)-sized concat (see _dft_synthesis_merged)
-            cat = jnp.concatenate(
-                [jnp.real(coeffs), jnp.imag(coeffs)], axis=-2
-            )
-            hm = ein("mlh,...lmc->...hmc", jnp.asarray(self.pct2), cat)
+            hm = self.synthesis_hm(coeffs)
             mat = _dft_synthesis_merged(self.nlon, self.mmax)
             return ein("...hmc,mw->...hwc", hm, jnp.asarray(mat))
         p = jnp.asarray(self.pct)

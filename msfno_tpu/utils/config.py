@@ -80,6 +80,9 @@ class FilmConfig:
     num_film_features: int = 256  # = embed_dim_sfno of the backbone
     scale_weight: float = 1.0  # mae film-head init scaling
     compute_dtype: str = "float32"  # generator compute dtype (head stays fp32)
+    # fused per-layer Pallas kernel for the gcn/gcn_custom generators
+    # (ops/pallas/gcn_layer.py); single-device only, plain path under a mesh
+    pallas_gcn: bool = True
     # mae generator: feed precomputed encoder cls tokens (B, embed_dim)
     # directly to the film head instead of running ContextCast each step
     # (reference cfg.cls path, sfnonet.py:900-907; mae/model.py:125-164)
@@ -129,6 +132,11 @@ class SFNOConfig:
     pallas_grid_mlp: bool = False
     # MXU input dtype inside the grid-MLP kernel (fp32 accumulation)
     grid_mlp_mxu_dtype: str = "bfloat16"
+    # fused spectral->output decoder tail (inverse DFT + norm1/FiLM affine +
+    # big-skip decoder in ONE Pallas pass, norm statistics computed in
+    # spectral space): engages with pallas_grid_mlp on the standard
+    # non-linear-SHT/instance-norm/big-skip configuration, single-device
+    fuse_decoder_tail: bool = True
     # MXU input dtype inside the fused spectral kernel: "bfloat16" runs the
     # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
     # accumulation; "float32" reproduces the reference's fp32 spectral path
