@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from msfno_tpu.ops.pallas import kernel_mxu_dtype
 
-_TILE_H_CANDIDATES = (20, 18, 15, 12, 10, 9, 8, 6, 5, 4, 3, 2, 1)
+_TILE_H_CANDIDATES = (12, 10, 9, 8, 6, 5, 4, 3, 2, 1)
 
 
 def _pick_tile_h(h: int) -> int:
@@ -176,6 +176,12 @@ def _gcn_layer_call(x, dinv, mask, w, b, res, *, has_residual: bool,
         scratch_shapes=[pltpu.VMEM((tile_h + 1, wid, cols), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        # the f32 stencil temporaries (support, box, shifted copies) exceed
+        # Mosaic's default 16 MB scoped-vmem budget at film scale — lift it
+        # (v5e VMEM is 128 MB; blocks + temporaries stay well under half)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)

@@ -89,6 +89,20 @@ def _round_up(n: int, p: int) -> int:
     return -(-n // p) * p
 
 
+def _resolve_comm_dtype(comm_dtype: str | None, mxu_dtype: str):
+    """Transport dtype for the all_to_all payloads.  Default: match the
+    transform's compute tier — bf16 MXU tiers already round these exact
+    coefficients to bf16 at the next matmul, so shipping fp32 re/im pairs
+    over ICI doubles the wire bytes for no numeric gain (BASELINE.md
+    round-5 comm table: 313-615 MB/shard/step of c64 at full resolution);
+    fp32/tensorfloat tiers keep fp32 transport."""
+    if comm_dtype is None:
+        comm_dtype = (
+            "bfloat16" if mxu_dtype == "bfloat16" else "float32"
+        )
+    return jnp.dtype(comm_dtype)
+
+
 def interleave_perm(m_pad: int, p: int) -> np.ndarray:
     """Round-robin order-to-position permutation: perm[i] = original order at
     position i, with shard k = positions [k*q, (k+1)*q) holding orders
@@ -147,12 +161,14 @@ class ShardedRealSHT:
     supported (padded internally)."""
 
     def __init__(self, sht: RealSHT, mesh: Mesh, axis: str = "lat",
-                 interleaved: bool = True, l_blocks: int = 2):
+                 interleaved: bool = True, l_blocks: int = 2,
+                 comm_dtype: str | None = None):
         global _constructions
         _constructions += 1
         self.sht = sht
         self.mesh = mesh
         self.axis = axis
+        self.comm_dtype = _resolve_comm_dtype(comm_dtype, sht.mxu_dtype)
         self.p = mesh.shape[axis]
         self.h_pad = _round_up(sht.nlat, self.p)
         self.m_pad = _round_up(sht.mmax, self.p)
@@ -187,6 +203,7 @@ class ShardedRealSHT:
         q = m_pad // self.p
         cuts, nbs = self._cuts, self._nb
         prec = _matmul_precision(self.sht.mxu_dtype)
+        comm_dt = self.comm_dtype
         if x.shape[-3] != self.h_pad:
             widths = [(0, 0)] * x.ndim
             widths[-3] = (0, self.h_pad - x.shape[-3])
@@ -205,11 +222,21 @@ class ShardedRealSHT:
                 "bhwc,wm->bhmc", xb.astype(jnp.float32), dft,
                 precision=prec, preferred_element_type=jnp.float32,
             )
-            fhat = jax.lax.complex(f[..., :m_pad, :], f[..., m_pad:, :])
-            # transpose shards: m gets split, h gets gathered
-            fhat = jax.lax.all_to_all(
-                fhat, axis, split_axis=2, concat_axis=1, tiled=True
-            )  # (B, H_pad, M_pad/P, C)
+            # transpose shards: m gets split, h gets gathered.  The payload
+            # travels as a stacked re/im REAL array in comm_dtype (bf16 on
+            # the bf16 tier halves the wire bytes; see _resolve_comm_dtype),
+            # with the re/im pair on its own axis so the m-split stays
+            # aligned with the mode layout.
+            fri = jnp.stack(
+                [f[..., :m_pad, :], f[..., m_pad:, :]], axis=2
+            ).astype(comm_dt)  # (B, H_pad/P, 2, M_pad, C)
+            fri = jax.lax.all_to_all(
+                fri, axis, split_axis=3, concat_axis=1, tiled=True
+            )  # (B, H_pad, 2, M_pad/P, C)
+            fhat = jax.lax.complex(
+                fri[:, :, 0].astype(jnp.float32),
+                fri[:, :, 1].astype(jnp.float32),
+            )
 
             def legendre(part):
                 # triangular-blocked contraction: block b covers degrees
@@ -252,10 +279,12 @@ class ShardedInverseRealSHT:
     on the padded grid, sliced back after the shard_map)."""
 
     def __init__(self, isht: InverseRealSHT, mesh: Mesh, axis: str = "lat",
-                 interleaved: bool = True, l_blocks: int = 2):
+                 interleaved: bool = True, l_blocks: int = 2,
+                 comm_dtype: str | None = None):
         self.isht = isht
         self.mesh = mesh
         self.axis = axis
+        self.comm_dtype = _resolve_comm_dtype(comm_dtype, isht.mxu_dtype)
         self.p = mesh.shape[axis]
         self.h_pad = _round_up(isht.nlat, self.p)
         self.m_pad = _round_up(isht.mmax, self.p)
@@ -308,12 +337,15 @@ class ShardedInverseRealSHT:
 
             re = legendre(jnp.real(cb))
             im = legendre(jnp.imag(cb))
-            xm = jax.lax.complex(re, im)  # (B, H_pad, M_pad/P, C)
-            # transpose shards back: h gets split, m gets gathered
-            xm = jax.lax.all_to_all(
-                xm, axis, split_axis=1, concat_axis=2, tiled=True
-            )  # (B, H_pad/P, M_pad, C)
-            cat = jnp.concatenate([jnp.real(xm), jnp.imag(xm)], axis=-2)
+            # transpose shards back: h gets split, m gets gathered — stacked
+            # re/im real payload in comm_dtype (see the forward transform)
+            xri = jnp.stack([re, im], axis=2).astype(self.comm_dtype)
+            xri = jax.lax.all_to_all(
+                xri, axis, split_axis=1, concat_axis=3, tiled=True
+            )  # (B, H_pad/P, 2, M_pad, C)
+            cat = jnp.concatenate(
+                [xri[:, :, 0], xri[:, :, 1]], axis=-2
+            ).astype(jnp.float32)
             return jnp.einsum(
                 "bhmc,mw->bhwc", cat, dft,
                 precision=prec, preferred_element_type=jnp.float32,
@@ -336,8 +368,10 @@ class ShardedInverseRealSHT:
 
 def make_sharded_transforms(sht: RealSHT, isht: InverseRealSHT, mesh: Mesh,
                             axis: str = "lat", interleaved: bool = True,
-                            l_blocks: int = 2):
+                            l_blocks: int = 2,
+                            comm_dtype: str | None = None):
     return (
-        ShardedRealSHT(sht, mesh, axis, interleaved, l_blocks),
-        ShardedInverseRealSHT(isht, mesh, axis, interleaved, l_blocks),
+        ShardedRealSHT(sht, mesh, axis, interleaved, l_blocks, comm_dtype),
+        ShardedInverseRealSHT(isht, mesh, axis, interleaved, l_blocks,
+                              comm_dtype),
     )

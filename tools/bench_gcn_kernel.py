@@ -49,22 +49,32 @@ def main() -> None:
                 dtype=jnp.dtype(dt_name), use_pallas=fused,
             )
             params = jax.jit(gen.init)(jax.random.PRNGKey(0), sst)
-            f = jax.jit(lambda p, s: gen.apply(p, s))
+
+            # 16 chained applications inside ONE program (per-call dispatch
+            # timing over the tunnel is unusable — axon rules)
+            def chain(p, s):
+                def body(carry, _):
+                    o = gen.apply(p, s + 0.0 * carry[0, 0])
+                    return o, ()
+
+                o0 = gen.apply(p, s)
+                out, _ = jax.lax.scan(body, o0, None, length=15)
+                return out
+
+            f = jax.jit(chain)
             t0 = time.perf_counter()
-            out = f(params, sst)
-            out.block_until_ready()
+            f(params, sst).block_until_ready()
             print(f"gen {dt_name} fused={fused}: build "
                   f"{time.perf_counter()-t0:.1f}s", flush=True)
-            # chain through a data dependency to avoid dispatch gaps
-            t0 = time.perf_counter()
-            s = sst
-            for _ in range(10):
-                o = f(params, s)
-                s = s + 1e-6 * o[:, None, :1, :1] * 0.0
-            o.block_until_ready()
-            dt = (time.perf_counter() - t0) / 10
-            print(f"gen {dt_name} fused={fused}: {dt*1e3:.2f} ms", flush=True)
-            outs[fused] = f(params, sst)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                f(params, sst).block_until_ready()
+                best = min(best, (time.perf_counter() - t0) / 16)
+            print(f"gen {dt_name} fused={fused}: {best*1e3:.2f} ms",
+                  flush=True)
+            g1 = jax.jit(lambda p, s: gen.apply(p, s))
+            outs[fused] = g1(params, sst)
         print(f"gen {dt_name} fused-vs-unfused rel-L2 "
               f"{rel_l2(outs[True], outs[False]):.3e}", flush=True)
 
