@@ -216,6 +216,15 @@ def build_parser() -> argparse.ArgumentParser:
                       "encoder/decoder MLPs (hidden state stays in VMEM)")
     arch.add_argument("--grid-mlp-mxu-dtype", default="bfloat16",
                       choices=["float32", "bfloat16"])
+    arch.add_argument("--no-fuse-decoder-tail", action="store_true",
+                      help="disable the fused spectral->output decoder tail "
+                           "(ops/pallas/spectral_decoder.py; engages with "
+                           "--pallas-grid-mlp on the standard SHT/instance-"
+                           "norm/big-skip configuration)")
+    arch.add_argument("--no-pallas-gcn", action="store_true",
+                      help="disable the fused GCN-layer kernel in the "
+                           "gcn/gcn_custom film generators "
+                           "(ops/pallas/gcn_layer.py)")
 
     dist = p.add_argument_group("Distributed")
     dist.add_argument("--mesh", default="auto",
@@ -327,6 +336,7 @@ def configs_from_args(args):
             dropout=args.dropout,
             cls_input=bool(args.cls),
             compute_dtype=args.film_compute_dtype,
+            pallas_gcn=not args.no_pallas_gcn,
         )
     model_cfg = SFNOConfig(
         img_size=tuple(args.img_size),
@@ -353,6 +363,7 @@ def configs_from_args(args):
         sht_mxu_dtype=args.sht_mxu_dtype,
         pallas_grid_mlp=args.pallas_grid_mlp,
         grid_mlp_mxu_dtype=args.grid_mlp_mxu_dtype,
+        fuse_decoder_tail=not args.no_fuse_decoder_tail,
         film=film,
     )
     train_cfg = TrainConfig(
