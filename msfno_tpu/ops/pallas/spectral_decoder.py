@@ -51,7 +51,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from msfno_tpu.ops.pallas import kernel_mxu_dtype
-from msfno_tpu.ops.pallas.grid_mlp import _gelu_exact
+from msfno_tpu.ops.pallas.grid_mlp import _erf_as7126, _gelu_exact
+
+# fused Pallas backward (one pass, no grid-field materialization) vs the
+# jnp-reference VJP; module-level so benches can A/B the backward alone
+PALLAS_BWD = True
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_grad(z):
+    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), with Phi from the same
+    A&S 7.1.26 erf approximation the forward kernel uses."""
+    phi = _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+    cdf = 0.5 * (1.0 + _erf_as7126(z * 0.7071067811865476))
+    return cdf + z * phi
 
 
 def _make_kernel(c_main: int, has_b2: bool, mxu_dtype, out_dtype):
@@ -155,6 +169,211 @@ def _spectral_decoder_call(hm, skip, a, b, mt, w1, b1, w2, b2, *,
     return out
 
 
+def _make_bwd_kernel(c_main: int, c_skip: int, has_b2: bool, mxu_dtype):
+    """One-pass backward for the fused tail: per latitude row, recompute the
+    cheap VMEM-resident intermediates (raw DFT row, fc1 pre-activation) and
+    emit dhm / dskip plus in-kernel-accumulated da / db / dW1 / db1 / dW2
+    [/ db2] — the grid field never touches HBM (round-5 train trace: the
+    jnp-reference backward cost ~17 ms/step in full-res recompute chains).
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        g_ref = next(it)
+        hm_ref = next(it)
+        skip_ref = next(it)
+        a_ref = next(it)
+        b_ref = next(it)
+        mt_ref = next(it)
+        w1_ref = next(it)
+        b1_ref = next(it)
+        w2_ref = next(it)
+        b2_ref = next(it) if has_b2 else None  # noqa: F841 (shape parity)
+        dhm_ref = next(it)
+        dskip_ref = next(it)
+        da_ref = next(it)
+        db_ref = next(it)
+        dw1_ref = next(it)
+        db1_ref = next(it)
+        dw2_ref = next(it)
+        db2_ref = next(it) if has_b2 else None
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _zero_per_batch():
+            # per-batch affine accumulators (block index follows bi)
+            da_ref[...] = jnp.zeros_like(da_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        @pl.when((pl.program_id(0) == 0) & (i == 0))
+        def _zero_weight_acc():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            if has_b2:
+                db2_ref[...] = jnp.zeros_like(db2_ref)
+
+        a = a_ref[0]
+        # forward recompute (VMEM-only): raw DFT row, affine, fc1 pre-act
+        hm_row = hm_ref[0, 0]
+        x_raw = jnp.dot(
+            mt_ref[:], hm_row.astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        xa = x_raw * a + b_ref[0]
+        skip_row = skip_ref[0, 0]
+        z1 = (
+            jnp.dot(xa.astype(mxu_dtype), w1_ref[:c_main],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(skip_row.astype(mxu_dtype), w1_ref[c_main:],
+                      preferred_element_type=jnp.float32)
+            + b1_ref[:]
+        )
+        h1 = _gelu_exact(z1)
+
+        g_row = g_ref[0, 0].astype(jnp.float32)
+        # transposed chain (dot_general contracting dim 1 with dim 1 uses
+        # the same weight refs for both directions)
+        dh1 = jax.lax.dot_general(
+            g_row.astype(mxu_dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dz1 = dh1 * _gelu_grad(z1)
+        dxa = jax.lax.dot_general(
+            dz1.astype(mxu_dtype), w1_ref[:c_main],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dskip = jax.lax.dot_general(
+            dz1.astype(mxu_dtype), w1_ref[c_main:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dskip_ref[0, 0] = dskip.astype(dskip_ref.dtype)
+        # dhm = a * (mt^T @ dxa)
+        dhm = jax.lax.dot_general(
+            mt_ref[:], dxa.astype(mxu_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dhm_ref[0, 0] = dhm * a
+
+        da_ref[...] += jnp.sum(dxa * x_raw, axis=0, keepdims=True)
+        db_ref[...] += jnp.sum(dxa, axis=0, keepdims=True)
+        dz1m = dz1.astype(mxu_dtype)
+        dw1_ref[:c_main] += jax.lax.dot_general(
+            xa.astype(mxu_dtype), dz1m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw1_ref[c_main:] += jax.lax.dot_general(
+            skip_row.astype(mxu_dtype), dz1m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_ref[...] += jnp.sum(dz1, axis=0, keepdims=True)
+        dw2_ref[...] += jax.lax.dot_general(
+            h1.astype(mxu_dtype), g_row.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if has_b2:
+            db2_ref[...] += jnp.sum(g_row, axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("has_b2", "mxu_dtype", "interpret"),
+)
+def _spectral_decoder_bwd_call(g, hm, skip, a, b, mt, w1, b1, w2, b2, *,
+                               has_b2: bool, mxu_dtype: str,
+                               interpret: bool):
+    bsz, hrows, two_m, c_main = hm.shape
+    w_cols, c_skip = skip.shape[-2], skip.shape[-1]
+    hidden = w1.shape[1]
+    c_out = w2.shape[1]
+    md = kernel_mxu_dtype(mxu_dtype)
+
+    # (W, 2M) layout serves BOTH directions: the forward-recompute row is a
+    # plain dot, and dhm contracts dim 0 with dim 0 via dimension numbers —
+    # no materialized transpose either way
+    mt_c = jnp.asarray(mt).astype(md)
+    w1_c = w1.astype(md)
+    w2_c = w2.astype(md)
+
+    row = lambda bi, hi: (bi, hi, 0, 0)
+    per_b = lambda bi, hi: (bi, 0)
+    glob = lambda bi, hi: (0, 0)
+    operands = [g, hm, skip, a.astype(jnp.float32), b.astype(jnp.float32),
+                mt_c, w1_c, b1.reshape(1, hidden).astype(jnp.float32), w2_c]
+    in_specs = [
+        pl.BlockSpec((1, 1, w_cols, c_out), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, two_m, c_main), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w_cols, c_skip), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_main), per_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_main), per_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec(mt_c.shape, glob, memory_space=pltpu.VMEM),
+        pl.BlockSpec(w1_c.shape, glob, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), glob, memory_space=pltpu.VMEM),
+        pl.BlockSpec(w2_c.shape, glob, memory_space=pltpu.VMEM),
+    ]
+    if has_b2:
+        operands.append(b2.reshape(1, c_out).astype(jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((1, c_out), glob, memory_space=pltpu.VMEM)
+        )
+
+    out_specs = [
+        pl.BlockSpec((1, 1, two_m, c_main), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w_cols, c_skip), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_main), per_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_main), per_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_main + c_skip, hidden), glob,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), glob, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, c_out), glob, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, hrows, two_m, c_main), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, hrows, w_cols, c_skip), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, c_main), jnp.float32),
+        jax.ShapeDtypeStruct((bsz, c_main), jnp.float32),
+        jax.ShapeDtypeStruct((c_main + c_skip, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((hidden, c_out), jnp.float32),
+    ]
+    if has_b2:
+        out_specs.append(
+            pl.BlockSpec((1, c_out), glob, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, c_out), jnp.float32))
+
+    kernel = _make_bwd_kernel(c_main, c_skip, has_b2, md)
+    flops = 2 * bsz * hrows * w_cols * (
+        2 * two_m * c_main + 3 * (c_main + c_skip) * hidden
+        + 2 * hidden * c_out
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, hrows),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                g.dtype.itemsize * g.size
+                + 2 * hm.dtype.itemsize * hm.size
+                + 2 * skip.dtype.itemsize * skip.size
+            ),
+            transcendentals=2 * bsz * hrows * w_cols * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def _ref_decoder_f32(ops: dict):
     """jnp reference with the kernel's semantics in fp32: inverse DFT, then
     the fused affine, then the split-kernel big-skip MLP."""
@@ -191,10 +410,32 @@ def _fwd(ops, mxu_dtype, interpret, out_dtype):
 
 
 def _bwd(mxu_dtype, interpret, out_dtype, ops, g):
-    _, vjp = jax.vjp(
-        functools.partial(_ref_decoder, out_dtype=out_dtype), ops
+    if not PALLAS_BWD:
+        _, vjp = jax.vjp(
+            functools.partial(_ref_decoder, out_dtype=out_dtype), ops
+        )
+        return vjp(g)
+    out = _spectral_decoder_bwd_call(
+        g, ops["hm"], ops["skip"], ops["a"], ops["b"], ops["mt"],
+        ops["w1"], ops["b1"], ops["w2"], ops.get("b2"),
+        has_b2="b2" in ops, mxu_dtype=mxu_dtype, interpret=interpret,
     )
-    return vjp(g)
+    dhm, dskip, da, db, dw1, db1, dw2 = out[:7]
+    ct = {
+        "hm": dhm.astype(ops["hm"].dtype),
+        "skip": dskip.astype(ops["skip"].dtype),
+        "a": da.astype(ops["a"].dtype),
+        "b": db.astype(ops["b"].dtype),
+        # mt is a baked trig-constant matrix, never a traced function of
+        # anything trainable
+        "mt": jnp.zeros_like(ops["mt"]),
+        "w1": dw1.astype(ops["w1"].dtype),
+        "b1": db1.reshape(ops["b1"].shape).astype(ops["b1"].dtype),
+        "w2": dw2.astype(ops["w2"].dtype),
+    }
+    if "b2" in ops:
+        ct["b2"] = out[7].reshape(ops["b2"].shape).astype(ops["b2"].dtype)
+    return (ct,)
 
 
 _spectral_decoder.defvjp(_fwd, _bwd)
