@@ -42,10 +42,14 @@ TILE_N = 256
 # packed double-width matmul kernel (default) vs the original 4-dot kernel;
 # module-level so benches can A/B both paths
 PACKED = True
-# 3-GEMM Karatsuba complex multiply (25% fewer MXU FLOPs than the packed
+# 3-GEMM Karatsuba complex multiply: 25% fewer MXU FLOPs than the packed
 # 4-GEMM-equivalent form, at the cost of three smaller dots per layer plus
-# VPU adds); module-level so benches can A/B — see tools/bench_spectral_kernel
-KARATSUBA = False
+# VPU adds.  Measured in the full fast-tier in-scan step (tools/
+# bench_karatsuba_model.py, 2026-08-20): 23.47 -> 22.03 ms/step; single-
+# step drift vs exact 1.75e-2 against packed's 1.66e-2 — same bf16 class
+# (the precomputed weight sums carry one extra bf16 rounding).  Default ON;
+# module-level so benches can A/B.
+KARATSUBA = True
 # fused Pallas input-gradient kernel (bf16 path) vs jnp-reference VJP;
 # module-level so benches can A/B the backward alone
 PALLAS_BWD = True

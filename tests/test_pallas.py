@@ -69,6 +69,29 @@ class TestSpectralMlpKernel:
             np.asarray(out_packed), np.asarray(out_4dot), rtol=1e-5, atol=1e-5
         )
 
+    def test_karatsuba_matches_reference(self):
+        """The 3-GEMM Karatsuba complex multiply reproduces the reference
+        MLP (f32 interpret: only summation-order noise)."""
+        import msfno_tpu.ops.pallas.spectral_mlp as sm
+
+        key = jax.random.PRNGKey(9)
+        c, h, n = 32, 64, 100
+        ws = _weights(key, [c, h, h, c])
+        coeffs = jax.lax.complex(
+            jax.random.normal(key, (1, n, 1, c)),
+            jax.random.normal(jax.random.fold_in(key, 2), (1, n, 1, c)),
+        )
+        old = sm.KARATSUBA
+        try:
+            sm.KARATSUBA = True
+            out_k = spectral_mlp(coeffs, ws, interpret=True)
+        finally:
+            sm.KARATSUBA = old
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(_reference(coeffs, ws)),
+            rtol=1e-4, atol=1e-4,
+        )
+
     def test_gradient_matches_reference(self):
         key = jax.random.PRNGKey(1)
         c, h, n = 16, 32, 64

@@ -38,10 +38,9 @@ def main():
         flops += N * d_in * d_out * 8
         d_in = d_out
 
-    def run(packed, mxu, tile):
+    def run(packed, mxu, tile, karatsuba=False):
         sm.PACKED = packed
-        if packed:
-            sm._packed_call._clear_cache() if hasattr(sm._packed_call, "_clear_cache") else None
+        sm.KARATSUBA = karatsuba
         f = jax.jit(lambda v: sm.spectral_mlp(v, ws, mxu_dtype=mxu))
         out = f(coeffs)
         float(jnp.sum(jnp.abs(out)))
@@ -51,7 +50,8 @@ def main():
             x = f(x)
         float(jnp.sum(jnp.abs(x)))
         dt = (time.perf_counter() - t0) / ITERS
-        name = f"{'packed' if packed else '4dot  '} {mxu:9s} tile={tile}"
+        kind = "karat " if karatsuba else ("packed" if packed else "4dot  ")
+        name = f"{kind} {mxu:9s} tile={tile}"
         print(f"{name}: {dt*1e3:7.3f} ms  {flops/dt/1e12:6.1f} TF/s", flush=True)
         return dt
 
@@ -72,6 +72,33 @@ def main():
         sm._packed_call = orig
     for mxu in ("bfloat16", "float32"):
         run(False, mxu, 256)
+
+    # Karatsuba 3-GEMM variant (3/4 the MXU FLOPs; tile set in the call)
+    for tile in (256, 512):
+        orig_k = sm._karatsuba_call
+
+        def patched_k(xr, xi, *flat_ws, negative_slope=0.0, interpret=False,
+                      mxu_dtype="float32", _orig=orig_k, _tile=tile):
+            return _orig(xr, xi, *flat_ws, negative_slope=negative_slope,
+                         interpret=interpret, mxu_dtype=mxu_dtype,
+                         tile_n=_tile)
+
+        sm._karatsuba_call = patched_k
+        for mxu in ("bfloat16",):
+            run(True, mxu, tile, karatsuba=True)
+        sm._karatsuba_call = orig_k
+
+    # numeric check: karatsuba vs packed (same mxu tier)
+    sm.PACKED, sm.KARATSUBA = True, False
+    ref = jax.jit(lambda v: sm.spectral_mlp(v, ws, mxu_dtype="bfloat16"))(coeffs)
+    sm.KARATSUBA = True
+    kar = jax.jit(lambda v: sm.spectral_mlp(v, ws, mxu_dtype="bfloat16"))(coeffs)
+    sm.KARATSUBA = False
+    import numpy as np
+    r = np.asarray(jnp.abs(kar - ref)).max() / max(
+        float(jnp.abs(ref).max()), 1e-30
+    )
+    print(f"karatsuba vs packed max-rel {r:.3e}", flush=True)
 
 
 if __name__ == "__main__":
