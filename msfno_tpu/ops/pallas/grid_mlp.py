@@ -46,9 +46,12 @@ from msfno_tpu.ops.pallas import kernel_mxu_dtype
 
 # tile candidates for the flattened pixel axis, largest first; all multiples
 # of 8 (fp32 sublane) — the caller picks the first that divides H*W when the
-# pos-embed is fused, else the first that keeps padding small
-_TILE_CANDIDATES = (1440, 1200, 960, 720, 512, 480, 384, 256, 240, 128, 64,
-                    32, 16, 8)
+# pos-embed is fused, else the first that keeps padding small.  The 5760/
+# 2880 tiles amortize per-grid-step overhead on the big grids (the round-5
+# trace showed the 120x240 inner MLPs at ~2.7x their traffic floor); VMEM
+# at 5760 rows stays < 25 MB across all three call-site shapes.
+_TILE_CANDIDATES = (5760, 2880, 1440, 1200, 960, 720, 512, 480, 384, 256,
+                    240, 128, 64, 32, 16, 8)
 
 
 def _pick_tile(n: int, must_divide: bool) -> int:
@@ -244,6 +247,11 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=n_tot * hidden,
+        ),
+        # the f32 hidden-layer temporaries at the 5760/2880-row tiles exceed
+        # Mosaic's default 16 MB scoped-vmem budget; lift it (see gcn_layer)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)

@@ -67,10 +67,12 @@ def fabricate() -> None:
 
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
-    for i in range(4):
+    # 12 frames: enough history for the save-forecast windowing at
+    # --multi-step-validation 2 (4 was too short — measured 2026-08-20)
+    for i in range(12):
         np.save(f"{STORE}/era5_{i:06d}.npy",
                 rng.standard_normal((721, 1440, 73)).astype(np.float32))
-    print(f"4-frame full-size store in {time.perf_counter()-t0:.1f}s",
+    print(f"12-frame full-size store in {time.perf_counter()-t0:.1f}s",
           flush=True)
 
 
