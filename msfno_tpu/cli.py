@@ -221,6 +221,9 @@ def build_parser() -> argparse.ArgumentParser:
                            "(ops/pallas/spectral_decoder.py; engages with "
                            "--pallas-grid-mlp on the standard SHT/instance-"
                            "norm/big-skip configuration)")
+    arch.add_argument("--no-fuse-encoder-dft", action="store_true",
+                      help="disable the fused encoder->spectral head "
+                           "(ops/pallas/grid_mlp.py:grid_encoder_spectral)")
     arch.add_argument("--no-pallas-gcn", action="store_true",
                       help="disable the fused GCN-layer kernel in the "
                            "gcn/gcn_custom film generators "
@@ -364,6 +367,7 @@ def configs_from_args(args):
         pallas_grid_mlp=args.pallas_grid_mlp,
         grid_mlp_mxu_dtype=args.grid_mlp_mxu_dtype,
         fuse_decoder_tail=not args.no_fuse_decoder_tail,
+        fuse_encoder_dft=not args.no_fuse_encoder_dft,
         film=film,
     )
     train_cfg = TrainConfig(

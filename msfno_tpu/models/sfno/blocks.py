@@ -184,6 +184,21 @@ class FourierNeuralOperatorBlock(nn.Module):
             drop_rate=self.drop_rate,
         )
         norm0 = make_norm(self.norm_kind, self.input_shape, "norm0")
+        from msfno_tpu.models.sfno.layers import SpectralGridIn
+
+        spectral_in = isinstance(x, SpectralGridIn)
+        if spectral_in:
+            # fused encoder->spectral input: only valid on the norm-fold
+            # path with no skips (the net's gate guarantees it)
+            assert (
+                self.fuse_norm
+                and self.norm_kind == "instance_norm"
+                and self.filter_type == "non-linear"
+                and self.spectral_transform == "sht"
+                and self.inner_skip is None
+                and self.outer_skip is None
+                and norm0_stats is not None
+            ), "SpectralGridIn on an incompatible block configuration"
         if (
             self.fuse_norm
             and self.norm_kind == "instance_norm"
@@ -195,7 +210,7 @@ class FourierNeuralOperatorBlock(nn.Module):
             # normalized field — one full-res read + write saved on block 0.
             # norm0_stats (encoder-kernel-accumulated, Mlp.with_stats) skips
             # even the statistics read of the full-res activation.
-            a, b = norm0(x, True, norm0_stats)
+            a, b = norm0(x.f if spectral_in else x, True, norm0_stats)
             x = filt(x, norm_affine=(a, b), deterministic=deterministic)
         else:
             if norm0_stats is not None and self.norm_kind == "instance_norm":

@@ -14,6 +14,7 @@ TPU-first re-design of MSFNO/Models/sfno/layers.py:
 
 from __future__ import annotations
 
+import typing
 from typing import Callable
 
 import flax.linen as nn
@@ -36,6 +37,15 @@ from msfno_tpu.ops.contractions import (
 )
 
 Array = jax.Array
+
+
+class SpectralGridIn(typing.NamedTuple):
+    """Marker for a block input whose longitude DFT already ran inside the
+    fused encoder kernel (ops/pallas/grid_mlp.py:grid_encoder_spectral):
+    `f` is the (B, H, 2M, C) stacked [re | im] mode array; the consuming
+    filter runs the Legendre stage only (`RealSHT.legendre_stacked`)."""
+
+    f: Array
 
 
 def trunc_normal_init(std: float = 0.02, a: float = -2.0, b: float = 2.0):
@@ -150,7 +160,7 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
-                 pe: Array | None = None):
+                 pe: Array | None = None, spectral_cs: Array | None = None):
         if self.use_pallas and active_mesh() is None:
             # under an active mesh the (B,H,W,C)->(N,C) flatten + pallas_call
             # has no GSPMD partitioning rule — fall back to plain Denses,
@@ -163,6 +173,26 @@ class Mlp(nn.Module):
             k2, b2 = _DenseParams(
                 self.out_features, use_bias=self.output_bias, name="fc2"
             )(self.hidden_features)
+            if spectral_cs is not None:
+                # fused encoder->spectral path (grid_encoder_spectral): the
+                # MLP output row goes straight through the forward DFT and
+                # never reaches HBM; stats accumulate in-kernel
+                from msfno_tpu.ops.pallas.grid_mlp import (
+                    grid_encoder_spectral,
+                )
+
+                assert b2 is None and self.with_stats
+                assert self.drop_rate == 0.0
+                f, ssum, ssq = grid_encoder_spectral(
+                    x, k1, b1, k2,
+                    None if pe is None else pe.astype(self.dtype),
+                    spectral_cs,
+                    mxu_dtype=self.mxu_dtype, out_dtype=self.dtype,
+                )
+                rows = 1
+                for d in x.shape[1:-1]:
+                    rows *= d
+                return f, (ssum, ssq, rows)
             if self.drop_rate > 0.0 and not deterministic:
                 # dropout sits between the fused matmuls: jnp fallback with
                 # the same params (training-only path)
@@ -436,10 +466,18 @@ class SpectralAttentionS2(nn.Module):
     def __call__(self, x: Array, norm_affine=None,
                  deterministic: bool = True,
                  defer_inverse: bool = False) -> Array:
-        in_dtype = x.dtype
         hidden = int(self.hidden_size_factor * self.embed_dim)
         forward_transform, inverse_transform = self._transforms()
-        x = forward_transform(x.astype(jnp.float32))
+        if isinstance(x, SpectralGridIn):
+            # longitude DFT already ran inside the fused encoder kernel
+            from msfno_tpu.ops.sht import RealSHT
+
+            assert isinstance(forward_transform, RealSHT)
+            in_dtype = x.f.dtype
+            x = forward_transform.legendre_stacked(x.f)
+        else:
+            in_dtype = x.dtype
+            x = forward_transform(x.astype(jnp.float32))
         if norm_affine is not None:
             # Fused instance-norm: the block passed norm(x) = a*x + b as
             # (a, b) instead of materializing it.  Both SHT stages are linear,

@@ -115,8 +115,27 @@ def _mlp(remat: bool, name: str, **kw) -> Mlp:
     return cls(**kw, name=name)
 
 
+def _encoder_fusible(cfg: SFNOConfig) -> bool:
+    """True when the encoder MLP can emit longitude modes directly (fused
+    forward DFT — grid_encoder_spectral): the standard non-linear-SHT /
+    instance-norm / norm-fold configuration on the single-device Pallas
+    path.  Block 0 then runs only the Legendre stage."""
+    from msfno_tpu.parallel.annotate import active_mesh
+
+    return (
+        cfg.fuse_encoder_dft
+        and cfg.pallas_grid_mlp
+        and active_mesh() is None
+        and cfg.filter_type == "non-linear"
+        and cfg.spectral_transform == "sht"
+        and cfg.normalization_layer == "instance_norm"
+        and cfg.fuse_norm_sht
+        and not cfg.checkpointing_encoder
+    )
+
+
 def _encode(net: nn.Module, cfg: SFNOConfig, x: Array,
-            deterministic: bool):
+            deterministic: bool, trans_down=None):
     """Encoder MLP + positional embed.  With the fused grid-MLP kernel the
     pe add rides the kernel's output write; otherwise it is a separate
     (XLA-fused) add after the Mlp.
@@ -125,13 +144,27 @@ def _encode(net: nn.Module, cfg: SFNOConfig, x: Array,
     the forward SHT (fuse_norm_sht), the encoder also produces the norm
     statistics — in-kernel on the pallas path — so the full-res activation
     is never re-read just to compute mean/var (round-5 trace: 2.3 ms/step).
-    stats is None when the consumer computes its own."""
+    stats is None when the consumer computes its own.
+
+    When the encoder->spectral fusion engages (`_encoder_fusible` +
+    `trans_down` is the matmul-DFT RealSHT), the return is a
+    `SpectralGridIn` marker wrapping the (B, H, 2M, C) longitude modes —
+    the grid-space encoder output never touches HBM."""
+    from msfno_tpu.models.sfno.layers import SpectralGridIn
+    from msfno_tpu.ops.sht import RealSHT
+
     dtype = jnp.dtype(cfg.compute_dtype)
     want_stats = (
         cfg.fuse_norm_sht
         and cfg.normalization_layer == "instance_norm"
         and cfg.filter_type == "non-linear"
         and cfg.spectral_transform == "sht"
+    )
+    fuse_dft = (
+        _encoder_fusible(cfg)
+        and isinstance(trans_down, RealSHT)
+        and trans_down.lon_dft == "matmul"
+        and trans_down.mmax <= trans_down.nlon // 2 + 1
     )
     enc = _mlp(
         cfg.checkpointing_encoder,
@@ -151,6 +184,12 @@ def _encode(net: nn.Module, cfg: SFNOConfig, x: Array,
             trunc_normal_init(0.02),
             (cfg.img_size[0], cfg.img_size[1], cfg.embed_dim),
         )
+    if fuse_dft:
+        f, stats = enc(
+            x, deterministic, pe,
+            spectral_cs=jnp.asarray(trans_down.merged_analysis),
+        )
+        return SpectralGridIn(f), stats
     out = enc(x, deterministic, pe)
     x, stats = out if want_stats else (out, None)
     return annotate_grid(x), stats
@@ -230,7 +269,8 @@ class FourierNeuralOperatorNet(nn.Module):
         transforms = build_transforms(cfg)
         residual = x
 
-        x, enc_stats = _encode(self, cfg, x, deterministic)
+        x, enc_stats = _encode(self, cfg, x, deterministic,
+                               trans_down=transforms[0])
 
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:
@@ -274,7 +314,8 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
         gamma, beta = film_mod[:, 0], film_mod[:, 1]
 
         residual = x
-        x, enc_stats = _encode(self, cfg, x, deterministic)
+        x, enc_stats = _encode(self, cfg, x, deterministic,
+                               trans_down=transforms[0])
 
         block_cls = FourierNeuralOperatorBlock
         if cfg.checkpointing_block:

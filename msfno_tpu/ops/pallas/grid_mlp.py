@@ -351,6 +351,193 @@ def _bwd_stats(mxu_dtype, interpret, tile_n, out_dtype, stats_rows, ops, g):
 _grid_mlp_with_stats.defvjp(_fwd_stats, _bwd_stats)
 
 
+def _make_enc_kernel(mxu_dtype, out_dtype, has_pe: bool):
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        w1_ref = next(it)
+        b1_ref = next(it)
+        w2_ref = next(it)
+        pe_ref = next(it) if has_pe else None
+        cs_ref = next(it)
+        f_ref = next(it)
+        ssum_ref = next(it)
+        ssq_ref = next(it)
+        hi = pl.program_id(1)
+
+        @pl.when(hi == 0)
+        def _init():
+            ssum_ref[:] = jnp.zeros_like(ssum_ref)
+            ssq_ref[:] = jnp.zeros_like(ssq_ref)
+
+        h = jnp.dot(
+            x_ref[0, 0].astype(mxu_dtype), w1_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        h = _gelu_exact(h + b1_ref[:])
+        y = jnp.dot(
+            h.astype(mxu_dtype), w2_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        if has_pe:
+            y = y + pe_ref[0].astype(jnp.float32)
+        ssum_ref[:] += jnp.sum(y, axis=0, keepdims=True)
+        ssq_ref[:] += jnp.sum(y * y, axis=0, keepdims=True)
+        # forward truncated DFT of this latitude row: (2M, W) x (W, C) via
+        # dimension numbers — the grid-space row never reaches HBM.  The
+        # row is rounded to the MXU dtype first, matching the unfused
+        # path's stored-bf16 -> DFT-GEMM numerics exactly.
+        f_ref[0, 0] = jax.lax.dot_general(
+            cs_ref[:], y.astype(mxu_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("has_pe", "mxu_dtype", "interpret", "out_dtype"),
+)
+def _grid_encoder_spectral_call(x, w1, b1, w2, pe, cs, *, has_pe: bool,
+                                mxu_dtype: str, interpret: bool,
+                                out_dtype: str):
+    bsz, hrows, wcols, c_in = x.shape
+    hidden = w1.shape[1]
+    c_out = w2.shape[1]
+    two_m = cs.shape[1]
+    md = kernel_mxu_dtype(mxu_dtype)
+    od = jnp.dtype(out_dtype)
+    cs_c = cs.astype(md)
+
+    row = lambda bi, hi: (bi, hi, 0, 0)
+    glob = lambda bi, hi: (0, 0)
+    per_b = lambda bi, hi: (bi, 0)
+    operands = [x, w1.astype(md), b1.reshape(1, hidden), w2.astype(md)]
+    in_specs = [
+        pl.BlockSpec((1, 1, wcols, c_in), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, hidden), glob, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), glob, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, c_out), glob, memory_space=pltpu.VMEM),
+    ]
+    if has_pe:
+        operands.append(pe)
+        in_specs.append(
+            pl.BlockSpec((1, wcols, c_out), lambda bi, hi: (hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    operands.append(cs_c)
+    in_specs.append(
+        pl.BlockSpec((wcols, two_m), glob, memory_space=pltpu.VMEM)
+    )
+
+    kernel = _make_enc_kernel(md, od, has_pe)
+    flops = 2 * bsz * hrows * wcols * (
+        c_in * hidden + hidden * c_out + two_m * c_out
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, hrows),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, two_m, c_out), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), per_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), per_b, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hrows, two_m, c_out), od),
+            jax.ShapeDtypeStruct((bsz, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c_out), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                x.dtype.itemsize * x.size
+                + od.itemsize * bsz * hrows * two_m * c_out
+                + (pe.dtype.itemsize * pe.size if has_pe else 0)
+            ),
+            transcendentals=bsz * hrows * wcols * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _ref_encoder_spectral(ops: dict, mxu_dtype: str, out_dtype: str):
+    """jnp reference: encoder MLP (+pe) then the truncated forward DFT with
+    the kernel's rounding points (row rounded to mxu dtype before the DFT)."""
+    md = kernel_mxu_dtype(mxu_dtype)
+    x = ops["x"].astype(jnp.float32)  # (B, H, W, C_in)
+    h = jax.nn.gelu(x @ ops["w1"] + ops["b1"], approximate=False)
+    y = h @ ops["w2"]
+    if "pe" in ops:
+        y = y + ops["pe"].astype(jnp.float32)[None]
+    ym = y.astype(md).astype(jnp.float32)
+    cs = ops["cs"].astype(md).astype(jnp.float32)
+    f = jnp.einsum("bhwc,wm->bhmc", ym, cs).astype(jnp.dtype(out_dtype))
+    c = y.shape[-1]
+    ys = y.reshape(x.shape[0], -1, c)
+    return f, jnp.sum(ys, axis=1), jnp.sum(ys * ys, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _grid_encoder_spectral(ops: dict, mxu_dtype: str, interpret: bool,
+                           out_dtype: str):
+    return _grid_encoder_spectral_call(
+        ops["x"], ops["w1"], ops["b1"], ops["w2"], ops.get("pe"), ops["cs"],
+        has_pe="pe" in ops, mxu_dtype=mxu_dtype, interpret=interpret,
+        out_dtype=out_dtype,
+    )
+
+
+def _enc_fwd(ops, mxu_dtype, interpret, out_dtype):
+    return _grid_encoder_spectral(ops, mxu_dtype, interpret, out_dtype), ops
+
+
+def _enc_bwd(mxu_dtype, interpret, out_dtype, ops, g):
+    # reference VJP: in film fine-tuning the encoder sits in the frozen
+    # prefix and XLA DCEs this entire backward; full training pays the
+    # unfused recompute (documented trade — revisit if full training
+    # becomes a hot path)
+    _, vjp = jax.vjp(
+        lambda o: _ref_encoder_spectral(o, mxu_dtype, out_dtype), ops
+    )
+    return vjp(g)
+
+
+_grid_encoder_spectral.defvjp(_enc_fwd, _enc_bwd)
+
+
+def grid_encoder_spectral(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                          w2: jax.Array, pe: jax.Array | None,
+                          cs: jax.Array, mxu_dtype: str = "bfloat16",
+                          interpret: bool = False,
+                          out_dtype: jnp.dtype | None = None):
+    """Encoder MLP + pos-embed + instance-norm statistics + forward
+    truncated DFT in ONE pass: x (B, H, W, C_in) -> (f, ssum, ssq) with
+    f (B, H, 2M, C) the stacked [re | im] longitude modes (ops/sht.py
+    merged-analysis layout) — the 721x1440x256 grid-space encoder output
+    never touches HBM (round-5 trace: its write + the DFT's re-read cost
+    ~1.6 ms/step).  cs: (W, 2M) merged analysis matrix
+    (`RealSHT.merged_analysis`)."""
+    from msfno_tpu.ops.pallas import resolve_interpret
+
+    interpret = resolve_interpret(interpret)
+    ops = {
+        "x": x,
+        "w1": w1.astype(jnp.float32),
+        "b1": b1.astype(jnp.float32),
+        "w2": w2.astype(jnp.float32),
+        "cs": cs,
+    }
+    if pe is not None:
+        ops["pe"] = pe
+    od = str(jnp.dtype(out_dtype or jnp.bfloat16))
+    return _grid_encoder_spectral(ops, mxu_dtype, interpret, od)
+
+
 def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              b2: jax.Array | None = None, skip: jax.Array | None = None,
              pe: jax.Array | None = None, mxu_dtype: str = "bfloat16",

@@ -168,6 +168,29 @@ class RealSHT:
         )
         return np.asarray(analysis * self.spectral_rescale, dtype=np.float32)
 
+    @functools.cached_property
+    def merged_analysis(self) -> np.ndarray:
+        """(nlon, 2*mmax) merged [C | -S] analysis matrix — the DFT operand
+        of the fused encoder->spectral kernel (ops/pallas/grid_mlp.py)."""
+        return _dft_analysis_merged(self.nlon, self.mmax)
+
+    def legendre_stacked(self, f: jax.Array) -> jax.Array:
+        """Legendre analysis ONLY: (..., H, 2M, C) stacked [re | im]
+        longitude modes (the merged-DFT layout) -> (..., L, M, C) complex.
+        Used when the longitude stage already ran inside a fused kernel."""
+        if f.shape[-2] != 2 * self.mmax or f.shape[-3] != self.nlat:
+            raise ValueError(
+                f"expected (..., {self.nlat}, {2 * self.mmax}, C), got {f.shape}"
+            )
+        prec = _matmul_precision(self.mxu_dtype)
+        w = jnp.asarray(self.weights)
+        f = f.astype(jnp.float32)
+        re = jnp.einsum("mlh,...hmc->...lmc", w, f[..., : self.mmax, :],
+                        precision=prec, preferred_element_type=jnp.float32)
+        im = jnp.einsum("mlh,...hmc->...lmc", w, f[..., self.mmax :, :],
+                        precision=prec, preferred_element_type=jnp.float32)
+        return jax.lax.complex(re, im)
+
     def __call__(self, x: jax.Array) -> jax.Array:
         if x.shape[-3] != self.nlat or x.shape[-2] != self.nlon:
             raise ValueError(

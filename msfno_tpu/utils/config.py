@@ -137,6 +137,10 @@ class SFNOConfig:
     # spectral space): engages with pallas_grid_mlp on the standard
     # non-linear-SHT/instance-norm/big-skip configuration, single-device
     fuse_decoder_tail: bool = True
+    # fused encoder->spectral head (encoder MLP + pos-embed + norm stats +
+    # forward DFT in one Pallas pass; block 0 runs Legendre only): same
+    # gate family as fuse_decoder_tail
+    fuse_encoder_dft: bool = True
     # MXU input dtype inside the fused spectral kernel: "bfloat16" runs the
     # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
     # accumulation; "float32" reproduces the reference's fp32 spectral path
