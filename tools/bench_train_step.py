@@ -14,7 +14,7 @@ import numpy as np
 
 
 def main(fast: bool = True, iters: int = 5, remat: bool = True,
-         bf16_frozen: bool = False):
+         bf16_frozen: bool = False, transfer_bf16: bool = False):
     import dataclasses
 
     import jax
@@ -40,8 +40,14 @@ def main(fast: bool = True, iters: int = 5, remat: bool = True,
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     batch = gen_batch(cfg, 1, 0, seed=0)
-    era5 = jnp.asarray(batch.era5)
-    sst = jnp.asarray(batch.sst)
+    # --transfer-bf16 mirrors PrefetchLoader(transfer_dtype=bf16): the host
+    # ships the chunk half-size, so the in-scan per-step dynamic-slice reads
+    # half the HBM (the ~7 ms slice/copy row in /tmp/jax-trace-train-r5).
+    # The loss target is then bf16-quantized — the printed loss is the
+    # numerics evidence for the A/B.
+    in_dtype = jnp.bfloat16 if transfer_bf16 else jnp.float32
+    era5 = jnp.asarray(batch.era5, dtype=in_dtype)
+    sst = jnp.asarray(batch.sst, dtype=in_dtype)
 
     t0 = time.perf_counter()
     state, metrics = trainer._train_step(state, era5, sst)
@@ -77,4 +83,5 @@ def main(fast: bool = True, iters: int = 5, remat: bool = True,
 
 if __name__ == "__main__":
     main(fast="--parity" not in sys.argv, remat="--no-remat" not in sys.argv,
-         bf16_frozen="--bf16-frozen" in sys.argv)
+         bf16_frozen="--bf16-frozen" in sys.argv,
+         transfer_bf16="--transfer-bf16" in sys.argv)
