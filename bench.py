@@ -128,9 +128,27 @@ def _probe_backend(timeout_s: int = 420) -> bool:
         return False
 
 
+def _probe_with_retry(kick, attempts: int = 6, timeout_s: int = 180) -> bool:
+    """Tunnel wedges are transient (observed 2026-08-20: minutes-to-hours);
+    a single failed probe should not condemn the round-end datapoint to the
+    CPU-tiny fallback.  Probe up to `attempts` times (~18 min worst case),
+    re-arming the watchdog between tries."""
+    for i in range(attempts):
+        if _probe_backend(timeout_s=timeout_s):
+            return True
+        kick()
+        print(
+            f"bench: TPU probe {i + 1}/{attempts} failed (wedged tunnel); "
+            "retrying",
+            file=sys.stderr,
+            flush=True,
+        )
+    return False
+
+
 def main() -> None:
     kick = _arm_watchdog()
-    healthy = _probe_backend()
+    healthy = _probe_with_retry(kick)
     import jax
 
     if not healthy:
