@@ -224,6 +224,10 @@ def build_parser() -> argparse.ArgumentParser:
     arch.add_argument("--no-fuse-encoder-dft", action="store_true",
                       help="disable the fused encoder->spectral head "
                            "(ops/pallas/grid_mlp.py:grid_encoder_spectral)")
+    arch.add_argument("--fuse-inner-mlp", action="store_true",
+                      help="fold inner-block norm1+FiLM and the outer "
+                           "identity skip into the channel-MLP kernel "
+                           "(blocks.py fuse_mlp_affine)")
     arch.add_argument("--no-pallas-gcn", action="store_true",
                       help="disable the fused GCN-layer kernel in the "
                            "gcn/gcn_custom film generators "
@@ -368,6 +372,7 @@ def configs_from_args(args):
         grid_mlp_mxu_dtype=args.grid_mlp_mxu_dtype,
         fuse_decoder_tail=not args.no_fuse_decoder_tail,
         fuse_encoder_dft=not args.no_fuse_encoder_dft,
+        fuse_inner_mlp=args.fuse_inner_mlp,
         film=film,
     )
     train_cfg = TrainConfig(

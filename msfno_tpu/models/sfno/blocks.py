@@ -140,6 +140,11 @@ class FourierNeuralOperatorBlock(nn.Module):
     grid_mlp_mxu_dtype: str = "bfloat16"
     checkpointing_mlp: bool = False
     fuse_norm: bool = True  # fold instance-norm into the forward SHT
+    # fold norm1 + FiLM into the channel-MLP kernel as a per-sample channel
+    # affine, and the outer identity skip into its output write — the
+    # normalized/modulated field never hits HBM (round-5 trace: the
+    # inter-kernel glue at 120x240 cost 2.4 ms/step across 489 fusions)
+    fuse_mlp_affine: bool = False
     filmed: bool = False
     checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -234,6 +239,45 @@ class FourierNeuralOperatorBlock(nn.Module):
 
         if self.filter_type == "linear":
             x = nn.gelu(x, approximate=False)
+
+        fuse_affine = (
+            self.fuse_mlp_affine
+            and self.use_mlp
+            and self.norm_kind == "instance_norm"
+            and self.drop_rate == 0.0
+            and self.drop_path_rate == 0.0
+            and not self.checkpointing_mlp
+            and self.outer_skip in (None, "identity")
+        )
+        if fuse_affine:
+            # norm1(x) == a*x + b per (B, C); FiLM folds in on top:
+            # (1+gamma*s)*(a*x + b) + beta*s — one affine, applied inside
+            # the MLP kernel.  Parameter tree identical to the unfused path.
+            a, b = make_norm(self.norm_kind, self.output_shape, "norm1")(
+                x, True
+            )
+            if self.filmed:
+                g = 1.0 + gamma[:, None, None, :].astype(a.dtype) * scale
+                a, b = g * a, g * b + beta[:, None, None, :].astype(
+                    a.dtype
+                ) * scale
+            x = Mlp(
+                hidden_features=int(self.embed_dim * self.mlp_ratio),
+                out_features=self.embed_dim,
+                drop_rate=self.drop_rate,
+                dtype=self.dtype,
+                use_pallas=self.pallas_grid_mlp,
+                mxu_dtype=self.grid_mlp_mxu_dtype,
+                name="mlp",
+            )(
+                x,
+                deterministic,
+                affine=(a, b),
+                residual=(
+                    residual if self.outer_skip == "identity" else None
+                ),
+            )
+            return annotate_grid(x)
 
         x = make_norm(self.norm_kind, self.output_shape, "norm1")(x)
 

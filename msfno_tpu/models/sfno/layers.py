@@ -160,7 +160,14 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
-                 pe: Array | None = None, spectral_cs: Array | None = None):
+                 pe: Array | None = None, spectral_cs: Array | None = None,
+                 affine: tuple[Array, Array] | None = None,
+                 residual: Array | None = None):
+        # affine: per-sample (B, C_in) channel affine applied to x before
+        # fc1 — the block's folded norm1 + FiLM (fuse_mlp_affine);
+        # residual: the block's outer identity skip, added to the output.
+        # Both run inside the Pallas kernel when available, in jnp
+        # otherwise (same math); params are identical either way.
         if self.use_pallas and active_mesh() is None:
             # under an active mesh the (B,H,W,C)->(N,C) flatten + pallas_call
             # has no GSPMD partitioning rule — fall back to plain Denses,
@@ -196,6 +203,9 @@ class Mlp(nn.Module):
             if self.drop_rate > 0.0 and not deterministic:
                 # dropout sits between the fused matmuls: jnp fallback with
                 # the same params (training-only path)
+                assert affine is None and residual is None, (
+                    "fuse_mlp_affine requires drop_rate == 0"
+                )
                 h = x.astype(self.dtype) @ k1.astype(self.dtype) + b1.astype(
                     self.dtype
                 )
@@ -215,6 +225,12 @@ class Mlp(nn.Module):
             rows = 1
             for d in x.shape[1:-1]:
                 rows *= d
+            aff2d = None
+            if affine is not None:
+                assert not self.with_stats and pe is None
+                aff2d = tuple(
+                    a.reshape(a.shape[0], a.shape[-1]) for a in affine
+                )
             y = grid_mlp(
                 x, k1, b1, k2, b2=b2,
                 # pe read in compute dtype (bf16 halves the 1 GB full-res
@@ -224,6 +240,8 @@ class Mlp(nn.Module):
                 mxu_dtype=self.mxu_dtype,
                 out_dtype=self.out_dtype or self.dtype,
                 stats_rows=rows if self.with_stats else None,
+                affine=aff2d,
+                residual=residual,
             )
             if self.with_stats:
                 y, ssum, ssq = y
@@ -233,6 +251,12 @@ class Mlp(nn.Module):
                 return y, (ssum, ssq, rows)
             return y.astype(self.out_dtype or self.dtype)
 
+        if affine is not None:
+            a, b = affine
+            x = (
+                x.astype(jnp.float32) * a.astype(jnp.float32)
+                + b.astype(jnp.float32)
+            )
         x = x.astype(self.dtype)
         x = nn.Dense(
             self.hidden_features,
@@ -256,6 +280,8 @@ class Mlp(nn.Module):
             x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         if pe is not None:
             x = x + pe.astype(x.dtype)
+        if residual is not None:
+            x = x + residual.astype(x.dtype)
         if self.with_stats:
             return x, _spatial_stats(x)
         return x

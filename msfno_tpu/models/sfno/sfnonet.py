@@ -102,6 +102,7 @@ def _block_kwargs(cfg: SFNOConfig, i: int, transforms) -> dict:
         grid_mlp_mxu_dtype=cfg.grid_mlp_mxu_dtype,
         checkpointing_mlp=cfg.checkpointing_mlp,
         fuse_norm=cfg.fuse_norm_sht,
+        fuse_mlp_affine=cfg.fuse_inner_mlp,
         dtype=jnp.dtype(cfg.compute_dtype),
     )
 

@@ -88,22 +88,36 @@ def _gelu_exact(x):
 
 
 def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
-                 mxu_dtype, out_dtype, tiles_per_sample: int = 0):
+                 mxu_dtype, out_dtype, tiles_per_sample: int = 0,
+                 has_affine: bool = False, has_res: bool = False):
     def kernel(*refs):
         it = iter(refs)
         x_ref = next(it)
         s_ref = next(it) if has_skip else None
+        aa_ref = next(it) if has_affine else None
+        ab_ref = next(it) if has_affine else None
         w1_ref = next(it)
         b1_ref = next(it)
         w2_ref = next(it)
         b2_ref = next(it) if has_b2 else None
         pe_ref = next(it) if has_pe else None
+        r_ref = next(it) if has_res else None
         out_ref = next(it)
         ssum_ref = next(it) if tiles_per_sample else None
         ssq_ref = next(it) if tiles_per_sample else None
 
+        if has_affine:
+            # per-sample channel affine (folded norm1 + FiLM): applied in
+            # f32 registers, rounded to the MXU dtype at the dot — replaces
+            # the unfused path's normalize write + MLP re-read of the
+            # 120x240x256 activation (round-5 trace: inner-block glue
+            # 2.4 ms/step across 489 small fusions)
+            xin = (x_ref[:].astype(jnp.float32) * aa_ref[:]
+                   + ab_ref[:]).astype(mxu_dtype)
+        else:
+            xin = x_ref[:].astype(mxu_dtype)
         h = jnp.dot(
-            x_ref[:].astype(mxu_dtype), w1_ref[:c_main],
+            xin, w1_ref[:c_main],
             preferred_element_type=jnp.float32,
         )
         if has_skip:
@@ -124,6 +138,10 @@ def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
             # halves the 1 GB full-res positional-embed read); the add
             # happens in f32 registers either way
             y = y + pe_ref[:].astype(jnp.float32)
+        if has_res:
+            # fused outer-identity skip: the separate residual-add fusion's
+            # read+write of the block activation disappears
+            y = y + r_ref[:].astype(jnp.float32)
         # bf16 out_dtype rounds at the WRITE instead of in a downstream
         # convert fusion: same values, half the write traffic, and no
         # 1 GB fp32 intermediate for the consumer to re-read (round-5
@@ -155,12 +173,15 @@ def _make_kernel(c_main: int, has_skip: bool, has_b2: bool, has_pe: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("has_skip", "has_b2", "has_pe", "pe_rows", "mxu_dtype",
-                     "interpret", "tile_n", "out_dtype", "stats_rows"),
+                     "interpret", "tile_n", "out_dtype", "stats_rows",
+                     "aff_rows", "has_res"),
 )
-def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
+def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, aff_a=None, aff_b=None,
+                   res=None, *, has_skip: bool,
                    has_b2: bool, has_pe: bool, pe_rows: int, mxu_dtype: str,
                    interpret: bool, tile_n: int, out_dtype: str = "float32",
-                   stats_rows: int = 0):
+                   stats_rows: int = 0, aff_rows: int = 0,
+                   has_res: bool = False):
     n, c_main = x.shape
     hidden = w1.shape[1]
     c_out = w2.shape[1]
@@ -171,12 +192,19 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
             f"stats_rows {stats_rows} must divide n {n} and be a multiple "
             f"of tile {tile_n}"
         )
+    if aff_rows and (n % aff_rows or aff_rows % tile_n):
+        raise ValueError(
+            f"aff_rows {aff_rows} must divide n {n} and be a multiple "
+            f"of tile {tile_n}"
+        )
 
     n_pad = -n % tile_n
     if n_pad:
         x = jnp.pad(x, ((0, n_pad), (0, 0)))
         if has_skip:
             skip = jnp.pad(skip, ((0, n_pad), (0, 0)))
+        if has_res:
+            res = jnp.pad(res, ((0, n_pad), (0, 0)))
     n_tot = n + n_pad
 
     operands = [x]
@@ -187,6 +215,15 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
         operands.append(skip)
         in_specs.append(pl.BlockSpec((tile_n, c_skip), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
+    if aff_rows:
+        aff_tps = aff_rows // tile_n
+        operands += [aff_a.astype(jnp.float32), aff_b.astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec((1, c_main), lambda i, t=aff_tps: (i // t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_main), lambda i, t=aff_tps: (i // t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     w1c = w1.astype(md)
     w2c = w2.astype(md)
     operands += [w1c, b1.reshape(1, hidden), w2c]
@@ -205,10 +242,15 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
         in_specs.append(pl.BlockSpec((tile_n, c_out),
                                      lambda i: (i % pe_tiles, 0),
                                      memory_space=pltpu.VMEM))
+    if has_res:
+        operands.append(res)
+        in_specs.append(pl.BlockSpec((tile_n, c_out), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
 
     tps = stats_rows // tile_n if stats_rows else 0
     kernel = _make_kernel(c_main, has_skip, has_b2, has_pe, md, od,
-                          tiles_per_sample=tps)
+                          tiles_per_sample=tps, has_affine=bool(aff_rows),
+                          has_res=has_res)
     c_in_total = c_main + (skip.shape[1] if has_skip else 0)
     flops = 2 * n_tot * (c_in_total * hidden + hidden * c_out)
     bytes_accessed = (
@@ -264,6 +306,13 @@ def _grid_mlp_call(x, skip, w1, b1, w2, b2, pe, *, has_skip: bool,
 def _ref_mlp_f32(ops: dict):
     """jnp reference with identical semantics (fp32 math, pre-rounding)."""
     x = ops["x"].astype(jnp.float32)
+    if "aff_a" in ops:
+        ns = ops["aff_a"].shape[0]
+        xr = x.reshape(ns, -1, x.shape[-1])
+        x = (
+            xr * ops["aff_a"].astype(jnp.float32)[:, None]
+            + ops["aff_b"].astype(jnp.float32)[:, None]
+        ).reshape(x.shape)
     h = x @ ops["w1"][: x.shape[-1]]
     if "skip" in ops:
         h = h + ops["skip"].astype(jnp.float32) @ ops["w1"][x.shape[-1]:]
@@ -275,6 +324,8 @@ def _ref_mlp_f32(ops: dict):
         n = x.shape[0]
         reps = n // ops["pe"].shape[0]
         y = y + jnp.tile(ops["pe"].astype(jnp.float32), (reps, 1))
+    if "res" in ops:
+        y = y + ops["res"].astype(jnp.float32)
     return y
 
 
@@ -293,24 +344,26 @@ def _ref_mlp_stats(ops: dict, out_dtype: str, stats_rows: int):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def _grid_mlp(ops: dict, mxu_dtype: str, interpret: bool, tile_n: int,
-              out_dtype: str):
+              out_dtype: str, aff_rows: int = 0):
     return _grid_mlp_call(
         ops["x"], ops.get("skip"), ops["w1"], ops["b1"], ops["w2"],
-        ops.get("b2"), ops.get("pe"),
+        ops.get("b2"), ops.get("pe"), ops.get("aff_a"), ops.get("aff_b"),
+        ops.get("res"),
         has_skip="skip" in ops, has_b2="b2" in ops, has_pe="pe" in ops,
         pe_rows=ops["pe"].shape[0] if "pe" in ops else 0,
         mxu_dtype=mxu_dtype, interpret=interpret, tile_n=tile_n,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, aff_rows=aff_rows, has_res="res" in ops,
     )
 
 
-def _fwd(ops, mxu_dtype, interpret, tile_n, out_dtype):
-    return _grid_mlp(ops, mxu_dtype, interpret, tile_n, out_dtype), ops
+def _fwd(ops, mxu_dtype, interpret, tile_n, out_dtype, aff_rows=0):
+    return _grid_mlp(ops, mxu_dtype, interpret, tile_n, out_dtype,
+                     aff_rows), ops
 
 
-def _bwd(mxu_dtype, interpret, tile_n, out_dtype, ops, g):
+def _bwd(mxu_dtype, interpret, tile_n, out_dtype, aff_rows, ops, g):
     _, vjp = jax.vjp(functools.partial(_ref_mlp, out_dtype=out_dtype), ops)
     return vjp(g)
 
@@ -543,7 +596,9 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
              pe: jax.Array | None = None, mxu_dtype: str = "bfloat16",
              interpret: bool = False,
              out_dtype: jnp.dtype | None = None,
-             stats_rows: int | None = None):
+             stats_rows: int | None = None,
+             affine: tuple[jax.Array, jax.Array] | None = None,
+             residual: jax.Array | None = None):
     """Fused pointwise two-layer MLP over grid pixels.
 
     x: (..., C_main); skip: optional (..., C_skip) concatenated input (the
@@ -560,6 +615,16 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
     pre-rounding output — returns (y, ssum, ssq) with ssum/ssq f32
     (n_samples, C_out).  Falls back to (y, None, None) when the tile does
     not divide stats_rows (caller computes stats the plain way).
+
+    affine: optional (A, B) per-sample channel affine — each (n_samples,
+    C_main) or broadcastable (n_samples, 1, 1, C_main) — applied to x in
+    f32 inside the kernel before fc1 (u = A*x + B).  This is the folded
+    norm1 + FiLM of an inner SFNO block: the normalized/modulated field is
+    never materialized in HBM.  Mutually exclusive with `pe`/`stats_rows`
+    (no call site combines them).
+
+    residual: optional (..., C_out) added to the output inside the kernel
+    (the block's outer identity skip).
     """
     from msfno_tpu.ops.pallas import resolve_interpret
 
@@ -589,11 +654,45 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
                 f"pixel count {n} not a multiple of pe rows {pe_flat.shape[0]}"
             )
 
-    tile = _pick_tile(pe_flat.shape[0], True) if pe_flat is not None else 0
-    if pe_flat is not None and tile:
-        ops["pe"] = pe_flat
+    aff_rows = 0
+    if affine is not None:
+        if pe is not None or stats_rows is not None:
+            raise ValueError("affine is mutually exclusive with pe/stats")
+        aff_a, aff_b = (
+            a.reshape(a.shape[0], a.shape[-1]) for a in affine
+        )
+        if n % aff_a.shape[0] != 0:
+            raise ValueError(
+                f"pixel count {n} not a multiple of affine samples "
+                f"{aff_a.shape[0]}"
+            )
+        aff_rows = n // aff_a.shape[0]
+
+    if residual is not None:
+        ops["res"] = residual.reshape(n, residual.shape[-1])
+
+    if aff_rows:
+        tile = _pick_tile(aff_rows, True)
+        if tile:
+            ops["aff_a"], ops["aff_b"] = aff_a, aff_b
+        else:
+            # no aligned tile for this grid: apply the affine outside the
+            # kernel (correctness fallback — costs the round trip the fused
+            # path avoids)
+            ns = aff_a.shape[0]
+            xr = ops["x"].astype(jnp.float32).reshape(ns, aff_rows, -1)
+            ops["x"] = (
+                xr * aff_a.astype(jnp.float32)[:, None]
+                + aff_b.astype(jnp.float32)[:, None]
+            ).reshape(n, -1).astype(ops["x"].dtype)
+            aff_rows = 0
+            tile = _pick_tile(n, False)
     else:
-        tile = _pick_tile(n, False)
+        tile = _pick_tile(pe_flat.shape[0], True) if pe_flat is not None else 0
+        if pe_flat is not None and tile:
+            ops["pe"] = pe_flat
+        else:
+            tile = _pick_tile(n, False)
 
     od = str(jnp.dtype(out_dtype or jnp.float32))
     c_out = w2.shape[1]
@@ -609,7 +708,7 @@ def grid_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
             ops, mxu_dtype, interpret, tile, od, stats_rows
         )
         return y.reshape(*lead, c_out), ssum, ssq
-    out = _grid_mlp(ops, mxu_dtype, interpret, tile, od)
+    out = _grid_mlp(ops, mxu_dtype, interpret, tile, od, aff_rows)
     if pe_flat is not None and "pe" not in ops:
         # no aligned tile for this grid: unfused add (correctness fallback)
         reps = n // pe_flat.shape[0]

@@ -141,6 +141,11 @@ class SFNOConfig:
     # forward DFT in one Pallas pass; block 0 runs Legendre only): same
     # gate family as fuse_decoder_tail
     fuse_encoder_dft: bool = True
+    # fold each inner block's norm1 + FiLM into the channel-MLP kernel as a
+    # per-sample channel affine, and the outer identity skip into its
+    # output write (blocks.py fuse_mlp_affine).  Off until the on-chip A/B
+    # lands (tools/bench_inner_fuse.py)
+    fuse_inner_mlp: bool = False
     # MXU input dtype inside the fused spectral kernel: "bfloat16" runs the
     # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
     # accumulation; "float32" reproduces the reference's fp32 spectral path

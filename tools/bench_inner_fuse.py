@@ -1,0 +1,83 @@
+"""A/B the fused inner-block channel MLP (fuse_inner_mlp: norm1+FiLM as an
+in-kernel affine + fused outer identity skip) on the real chip.
+
+Usage: python tools/bench_inner_fuse.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+
+def rel_l2(a, b):
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    return float(((a - b) ** 2).sum() ** 0.5 / max((b**2).sum() ** 0.5, 1e-30))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from bench import _build, _time_chained
+    from msfno_tpu.models import FourierNeuralOperatorNetFilmed
+
+    cfg_off = ge._flagship_cfg(fast=True)
+    cfg_on = dataclasses.replace(cfg_off, fuse_inner_mlp=True)
+
+    c_off, params, x, sst = _build(cfg_off)
+    c_on, _, _, _ = _build(cfg_on, params=params)
+    print("builds done", flush=True)
+
+    dt_off, _ = _time_chained(c_off, params, x, sst, 10)
+    dt_on, _ = _time_chained(c_on, params, x, sst, 10)
+    dt_off2, _ = _time_chained(c_off, params, x, sst, 10)
+    dt_on2, _ = _time_chained(c_on, params, x, sst, 10)
+    print(f"fast inner-unfused: {dt_off*1e3:.2f} / {dt_off2*1e3:.2f} ms",
+          flush=True)
+    print(f"fast inner-fused:   {dt_on*1e3:.2f} / {dt_on2*1e3:.2f} ms",
+          flush=True)
+
+    y_off = c_off(params, x, sst)
+    y_on = c_on(params, x, sst)
+    print(f"fused vs unfused: {rel_l2(y_on, y_off):.3e}", flush=True)
+
+    # in-scan
+    sst_seq = jax.jit(
+        lambda s, k: s[None]
+        + 0.01 * jax.random.normal(k, (32,) + s.shape, s.dtype)
+    )(sst, jax.random.PRNGKey(2))
+    for name, c in (("unfused", cfg_off), ("fused", cfg_on)):
+        model = FourierNeuralOperatorNetFilmed(c)
+
+        def _roll(p, x0, seq, model=model):
+            def body(state, s):
+                nxt = model.apply(p, state, s, 1.0)
+                return nxt, jnp.sum(nxt[0, 0, :8, 0])
+
+            _, outs = jax.lax.scan(body, x0, seq)
+            return outs
+
+        roll = jax.jit(_roll)
+        t0 = time.perf_counter()
+        float(jnp.sum(roll(params, x, sst_seq)))
+        print(f"{name} scan build+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(roll(params, x, sst_seq)))
+            best = min(best, (time.perf_counter() - t0) / 32)
+        print(f"{name} in-scan: {best*1e3:.2f} ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()

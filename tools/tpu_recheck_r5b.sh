@@ -14,6 +14,7 @@ run() {
   echo "--- exit $? ---" >> "$LOG"
 }
 run python tools/bench_encoder_fusion.py
+run python tools/bench_inner_fuse.py
 run python bench.py
 run python tools/bench_train_step.py --no-remat --bf16-frozen
 run python tools/bench_train_step.py --no-remat --bf16-frozen --transfer-bf16
