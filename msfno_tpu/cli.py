@@ -203,6 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
     arch.add_argument("--checkpointing-decoder", action="store_true")
     arch.add_argument("--compute-dtype", default="float32",
                       choices=["float32", "bfloat16"])
+    arch.add_argument("--output-dtype", default="float32",
+                      choices=["float32", "bfloat16"],
+                      help="model output field dtype; bfloat16 halves the "
+                           "rollout carry copy + decoder write on the "
+                           "serving tier (training keeps float32 targets)")
     arch.add_argument("--use-pallas", action="store_true")
     arch.add_argument("--spectral-mxu-dtype", default="float32",
                       choices=["float32", "bfloat16"])
@@ -373,6 +378,7 @@ def configs_from_args(args):
         fuse_decoder_tail=not args.no_fuse_decoder_tail,
         fuse_encoder_dft=not args.no_fuse_encoder_dft,
         fuse_inner_mlp=args.fuse_inner_mlp,
+        output_dtype=args.output_dtype,
         film=film,
     )
     train_cfg = TrainConfig(

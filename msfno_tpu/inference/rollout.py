@@ -262,7 +262,16 @@ def scan_rollout(
                     )
                 return nxt, out
 
-            _, outs = jax.lax.scan(body, normalizer(x0), xs, length=steps)
+            # carry in the model's output dtype (lax.scan requires carry
+            # type invariance; a bf16-output serving config halves the
+            # full-res carry copy per step)
+            out_dt = jnp.dtype(
+                getattr(getattr(model, "cfg", None), "output_dtype",
+                        "float32")
+            )
+            _, outs = jax.lax.scan(
+                body, normalizer(x0).astype(out_dt), xs, length=steps
+            )
             return outs
 
         if mesh is None:

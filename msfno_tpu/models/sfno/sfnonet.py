@@ -240,10 +240,11 @@ def _decode(cfg: SFNOConfig, x, residual: Array,
             dtype=dtype,
             use_pallas=cfg.pallas_grid_mlp,
             mxu_dtype=cfg.grid_mlp_mxu_dtype,
-            # the model output is fp32 (sfnonet returns x.astype(float32));
-            # emitting fp32 here makes that a no-op instead of a full-res
-            # f32->bf16->f32 round trip (round-5 trace: 1.6 ms/step)
-            out_dtype=jnp.float32,
+            # emit the model's output dtype directly: fp32 keeps the
+            # final astype a no-op (kills the f32->bf16->f32 round trip,
+            # round-5 trace: 1.6 ms/step); bf16 output_dtype additionally
+            # halves the autoregressive carry copy + decoder write
+            out_dtype=jnp.dtype(cfg.output_dtype),
             name="decoder",
         )(x, residual, deterministic)
     return _mlp(
@@ -255,7 +256,7 @@ def _decode(cfg: SFNOConfig, x, residual: Array,
         dtype=dtype,
         use_pallas=cfg.pallas_grid_mlp,
         mxu_dtype=cfg.grid_mlp_mxu_dtype,
-        out_dtype=jnp.float32,
+        out_dtype=jnp.dtype(cfg.output_dtype),
     )(x, deterministic)
 
 
@@ -287,7 +288,7 @@ class FourierNeuralOperatorNet(nn.Module):
                     enc_stats if i == 0 else None)
 
         x = _decode(cfg, x, residual, deterministic, itrans=transforms[1])
-        return x.astype(jnp.float32)
+        return x.astype(jnp.dtype(cfg.output_dtype))
 
 
 class FourierNeuralOperatorNetFilmed(nn.Module):
@@ -344,4 +345,4 @@ class FourierNeuralOperatorNetFilmed(nn.Module):
                 x = blk(x, None, None, 1.0, deterministic, stats_i)
 
         x = _decode(cfg, x, residual, deterministic, itrans=transforms[1])
-        return x.astype(jnp.float32)
+        return x.astype(jnp.dtype(cfg.output_dtype))

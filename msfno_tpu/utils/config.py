@@ -146,6 +146,13 @@ class SFNOConfig:
     # output write (blocks.py fuse_mlp_affine).  Off until the on-chip A/B
     # lands (tools/bench_inner_fuse.py)
     fuse_inner_mlp: bool = False
+    # dtype of the model OUTPUT field.  "bfloat16" halves the autoregressive
+    # scan's carry copy + the decoder write + the next step's input read
+    # (round-5 trace: the f32 carry copy alone is 1.6 ms/step); the encoder
+    # rounds its input to bf16 at the MXU on the fast tier anyway, so the
+    # only numerics change is output storage rounding.  Keep "float32" for
+    # training (loss targets) and the exact/balanced tiers.
+    output_dtype: str = "float32"
     # MXU input dtype inside the fused spectral kernel: "bfloat16" runs the
     # complex matmuls at native MXU rate (~4x fp32 on v5e) with fp32
     # accumulation; "float32" reproduces the reference's fp32 spectral path

@@ -180,3 +180,35 @@ class TestBlockFusedModel:
             y = m.apply(params, x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestOutputDtype:
+    def test_model_output_dtype(self):
+        cfg = _deep_cfg(film=False, output_dtype="bfloat16")
+        x = _rand(10, (1, 16, 32, 3))
+        m = FourierNeuralOperatorNet(cfg)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.dtype == jnp.bfloat16
+        cfg32 = _deep_cfg(film=False)
+        y32 = FourierNeuralOperatorNet(cfg32).apply(params, x)
+        assert y32.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(y, dtype=np.float32), np.asarray(y32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_scan_rollout_bf16_carry(self):
+        from msfno_tpu.inference.rollout import scan_rollout
+
+        cfg = _deep_cfg(film=True, output_dtype="bfloat16")
+        x = _rand(10, (1, 16, 32, 3))
+        sst = np.array(_rand(11, (1, 2, 8, 16)))
+        sst[0, 0, :2, :3] = np.nan
+        sst = jnp.asarray(sst)
+        m = FourierNeuralOperatorNetFilmed(cfg)
+        params = m.init(jax.random.PRNGKey(0), x, sst)
+        sst_seq = jnp.broadcast_to(sst[None], (3,) + sst.shape)
+        outs = scan_rollout(m, params["params"], x, 3, sst_seq=sst_seq)
+        assert outs.shape[0] == 3
+        assert np.isfinite(np.asarray(outs, dtype=np.float32)).all()

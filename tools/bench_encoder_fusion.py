@@ -35,25 +35,35 @@ def main() -> None:
     cfg_exact = ge._flagship_cfg()
     assert cfg_on.fuse_encoder_dft
 
+    # build -> time -> build -> time, never three resident programs before
+    # the first execution: the back-to-back-builds variant of this script
+    # wedged the tunnel twice on 2026-08-20 while bench.py's interleaved
+    # pattern ran clean the same hour
+    from bench import _arm_watchdog
+
+    kick = _arm_watchdog(900)
     c_exact, params, x, sst = _build(cfg_exact)
     print("exact built", flush=True)
-    c_off, _, _, _ = _build(cfg_off, params=params)
-    c_on, _, _, _ = _build(cfg_on, params=params)
-    print("fast builds done", flush=True)
-
-    dt_off, _ = _time_chained(c_off, params, x, sst, 10)
-    dt_on, _ = _time_chained(c_on, params, x, sst, 10)
-    dt_off2, _ = _time_chained(c_off, params, x, sst, 10)
-    dt_on2, _ = _time_chained(c_on, params, x, sst, 10)
-    print(f"fast enc-unfused: {dt_off*1e3:.2f} / {dt_off2*1e3:.2f} ms",
-          flush=True)
-    print(f"fast enc-fused:   {dt_on*1e3:.2f} / {dt_on2*1e3:.2f} ms",
-          flush=True)
-
     state = c_exact(params, x, sst)
     y_exact = c_exact(params, state, sst)
+    print("exact state ready", flush=True)
+    kick()
+
+    c_off, _, _, _ = _build(cfg_off, params=params)
+    dt_off, _ = _time_chained(c_off, params, x, sst, 10)
+    dt_off2, _ = _time_chained(c_off, params, x, sst, 10)
     y_off = c_off(params, state, sst)
+    print(f"fast enc-unfused: {dt_off*1e3:.2f} / {dt_off2*1e3:.2f} ms",
+          flush=True)
+    kick()
+
+    c_on, _, _, _ = _build(cfg_on, params=params)
+    dt_on, _ = _time_chained(c_on, params, x, sst, 10)
+    dt_on2, _ = _time_chained(c_on, params, x, sst, 10)
     y_on = c_on(params, state, sst)
+    print(f"fast enc-fused:   {dt_on*1e3:.2f} / {dt_on2*1e3:.2f} ms",
+          flush=True)
+    kick()
     print(f"unfused vs exact: {rel_l2(y_off, y_exact):.3e}", flush=True)
     print(f"fused   vs exact: {rel_l2(y_on, y_exact):.3e}", flush=True)
     print(f"fused vs unfused: {rel_l2(y_on, y_off):.3e}", flush=True)

@@ -33,21 +33,25 @@ def main() -> None:
     cfg_off = ge._flagship_cfg(fast=True)
     cfg_on = dataclasses.replace(cfg_off, fuse_inner_mlp=True)
 
-    c_off, params, x, sst = _build(cfg_off)
-    c_on, _, _, _ = _build(cfg_on, params=params)
-    print("builds done", flush=True)
+    # build -> time -> build -> time (see bench_encoder_fusion.py: three
+    # resident programs before the first execution wedged the tunnel)
+    from bench import _arm_watchdog
 
+    kick = _arm_watchdog(900)
+    c_off, params, x, sst = _build(cfg_off)
     dt_off, _ = _time_chained(c_off, params, x, sst, 10)
-    dt_on, _ = _time_chained(c_on, params, x, sst, 10)
     dt_off2, _ = _time_chained(c_off, params, x, sst, 10)
-    dt_on2, _ = _time_chained(c_on, params, x, sst, 10)
+    y_off = c_off(params, x, sst)
     print(f"fast inner-unfused: {dt_off*1e3:.2f} / {dt_off2*1e3:.2f} ms",
           flush=True)
+    kick()
+    c_on, _, _, _ = _build(cfg_on, params=params)
+    dt_on, _ = _time_chained(c_on, params, x, sst, 10)
+    dt_on2, _ = _time_chained(c_on, params, x, sst, 10)
+    y_on = c_on(params, x, sst)
     print(f"fast inner-fused:   {dt_on*1e3:.2f} / {dt_on2*1e3:.2f} ms",
           flush=True)
-
-    y_off = c_off(params, x, sst)
-    y_on = c_on(params, x, sst)
+    kick()
     print(f"fused vs unfused: {rel_l2(y_on, y_off):.3e}", flush=True)
 
     # in-scan
