@@ -159,6 +159,10 @@ def rollout(
         out = normalizer(x, reverse=True) if cfg.denormalize else x
         if collect is not None:
             out = out[..., jnp.asarray(collect)]
+        # emitted fields are always fp32 numpy regardless of the model's
+        # output_dtype (writers/eval consume them); the bf16 carry keeps
+        # its perf benefit — only the fetched copy upcasts
+        out = out.astype(jnp.float32)
         if mesh is not None:
             # replicate before the host fetch: np.asarray on an output
             # sharded across OTHER hosts' devices fails on a pod; the
@@ -251,6 +255,9 @@ def scan_rollout(
                 else:
                     nxt = model.apply({"params": params}, state)
                 out = nxt if collect is None else nxt[..., collect]
+                # emitted slices are fp32 (API invariant — see rollout's
+                # fetch); the scan CARRY stays in the model's output dtype
+                out = out.astype(jnp.float32)
                 if mesh is not None:
                     # replicate the collected output so the caller's
                     # np.asarray works on every host of a pod (the carry
